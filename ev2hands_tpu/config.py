@@ -1,0 +1,162 @@
+"""Single typed configuration tree for the whole framework.
+
+Replaces the reference's three config mechanisms (constants module
+``src/settings.py``, argparse->env-var re-export in ``arg_parser.py:15-16``,
+and architecture-changing raw env vars ``ERPC``/``MHLNES`` read inside
+``TEHNet.py:122,148``) with one explicit, hashable dataclass tree that can be
+passed through ``jax.jit`` as a static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorConfig:
+    """Event-camera sensor geometry (reference: ``src/settings.py:21-23``)."""
+
+    width: int = 346   # DAVIS346
+    height: int = 260
+    lnes_window_ms: float = 5.0
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+
+@dataclasses.dataclass(frozen=True)
+class EsimConfig:
+    """Event-simulator thresholds (reference: ``src/settings.py:10-12,19-20``)."""
+
+    positive_threshold: float = 0.4
+    negative_threshold: float = 0.4
+    refractory_period_ns: int = 0
+    simulator_fps: int = 1000
+    interpolation_fps: int = 30
+    # Static bound on events emitted per pixel per frame pair.  The reference's
+    # numba kernel hard-caps at 25 (``color_event_simulator.py:34``); we make
+    # it an explicit, compile-time constant.
+    max_events_per_pixel: int = 25
+
+
+@dataclasses.dataclass(frozen=True)
+class ManoConfig:
+    """MANO hand-model hyperparameters (reference: ``src/settings.py:38``,
+    ``src/Ev2Hands/model/utils.py:21``)."""
+
+    model_path: str = "data/models"
+    n_pose_comps: int = 6        # PCA pose components fed to the network
+    n_shape_params: int = 10
+    flat_hand_mean: bool = False
+    n_vertices: int = 778
+    n_faces: int = 1538
+    n_joints: int = 21           # 16 MANO joints + 5 fingertips
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """TEHNet architecture (reference: ``src/Ev2Hands/model/TEHNet.py:115-166``).
+
+    ``erpc`` / ``mhlnes`` were hidden env-var switches in the reference that
+    changed the input channel count and the meaning of the third coordinate;
+    here they are explicit hyperparameters.
+    """
+
+    num_classes: int = 4           # bg / left / right / noise
+    n_points: int = 2048           # events per window (``erpc.py:170``)
+    erpc: bool = True              # 5-channel ERPC input (x, y, t_avg, #pos, #neg)
+    mhlnes: bool = False           # replace t coordinate with mean polarity
+    # FPS start selection: the reference draws a random start index
+    # (``pointnet2_utils.py:75``); deterministic start makes runs reproducible.
+    fps_deterministic: bool = False
+    dropout_classifier: float = 0.3
+    dropout_query: float = 0.1
+    dropout_regressor: float = 0.3
+
+    @property
+    def in_channels(self) -> int:
+        return 5 if self.erpc else 4
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Loss weights (reference: ``src/Ev2Hands/losses.py:153-240``)."""
+
+    collision_weight: float = 1e2
+    collision_sigma: float = 0.5
+    collision_max_pairs: int = 128      # static max colliding pairs per sample
+    ce_class_weights: Tuple[float, ...] = (1.0, 30.0, 30.0, 10.0)
+    ce_ignore_index: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training loop hyperparameters (reference: ``train.py:23-33``,
+    ``finetune.py:25-36``)."""
+
+    batch_size: int = 8
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    max_iter: int = 800_000
+    save_iter: int = 10_000
+    msg_iter: int = 50
+    max_eval_iters: int = 8192
+    eval_batch_size: int = 32
+    seed: int = 0
+    checkpoint_path: str = ""
+    data_root: str = "data/Ev2Hands-S"
+    # Data-parallel mesh axis size; 1 = single chip.
+    data_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Main rendering camera: 30 degree y-FOV perspective projection at the
+    sensor aspect ratio (reference: ``src/settings.py:42-43``)."""
+
+    yfov_deg: float = 30.0
+    znear: float = 0.05
+    zfar: Optional[float] = None
+
+    def projection_matrix(self, width: int, height: int):
+        """Matches ``pyrender.PerspectiveCamera.get_projection_matrix``."""
+        import numpy as np
+
+        aspect = width / height
+        yfov = math.radians(self.yfov_deg)
+        t = 1.0 / math.tan(yfov / 2.0)
+        p = np.zeros((4, 4), dtype=np.float64)
+        p[0, 0] = t / aspect
+        p[1, 1] = t
+        p[3, 2] = -1.0
+        if self.zfar is None:
+            p[2, 2] = -1.0
+            p[2, 3] = -2.0 * self.znear
+        else:
+            n, f = self.znear, self.zfar
+            p[2, 2] = (f + n) / (n - f)
+            p[2, 3] = (2 * f * n) / (n - f)
+        return p
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    sensor: SensorConfig = SensorConfig()
+    esim: EsimConfig = EsimConfig()
+    mano: ManoConfig = ManoConfig()
+    model: ModelConfig = ModelConfig()
+    loss: LossConfig = LossConfig()
+    train: TrainConfig = TrainConfig()
+    camera: CameraConfig = CameraConfig()
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = Config()
+
+SEGMENTATION_COLOR = {"left": (0, 1, 0), "right": (0, 0, 1)}
+HAND_COLOR = (198 / 255, 134 / 255, 66 / 255)
