@@ -1,0 +1,213 @@
+"""TEHNet: the two-event-hand network, as one fixed-shape flax module.
+
+Architecture re-design of the reference (``src/Ev2Hands/model/TEHNet.py``):
+a PointNet++ encoder-decoder over the 2048-event ERPC cloud, a 4-class
+per-event segmentation head, class-space attention for left/right
+disambiguation, and two MANO parameter regressors.
+
+Differences from the reference by design:
+  * channels-last [B, N, C] everywhere (TPU/XLA layout);
+  * the hidden ``ERPC``/``MHLNES`` env flags are explicit config fields;
+  * the MANO layers live *outside* the learned module — ``TEHNet`` regresses
+    the 22 parameters per hand and ``apply_mano`` (pure function of constant
+    ManoParams) turns them into vertices/joints, so the full forward is one
+    jitted XLA program with clean param/constant separation.
+
+Channel bookkeeping (mirrors ``TEHNet.py:127-166`` for checkpoint parity):
+  sa1: Msg 2048->512, r=(.1,.2,.4), k=(32,64,128), in 5(+3), mlps
+       [[32,32,64],[64,64,128],[64,96,128]] -> 320
+  sa2: Msg 512->128, r=(.4,.8), k=(64,128), in 320(+3),
+       mlps [[128,128,256],[128,196,256]] -> 512
+  sa3: all, in 512+3 -> [256,512,1024]
+  fp3: in 512+1024 -> [256,256]; fp2: in 320+256 -> [256,128];
+  fp1: in 128 -> [128,128,256]
+  classifier: 256 -> 256 -> 4 (k=1 convs with ReLU/BN/Dropout between)
+  query convs: two k=3 convs per hand; attention -> [B, N, 4]
+  regressor per hand: Msg 128 centroids + global SA -> 512 -> MLP(1024) -> 22
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ev2hands_tpu.config import ModelConfig
+from ev2hands_tpu.mano.layer import ManoParams, mano_forward
+from ev2hands_tpu.model.layers import (
+    FeaturePropagation,
+    QueryConv,
+    SetAbstractionAll,
+    SetAbstractionMsg,
+    _bn,
+    attention_block,
+)
+
+
+class ManoRegressor(nn.Module):
+    """Per-hand MANO parameter regressor (``TEHNet.py:30-112``).
+
+    Consumes the shared event positions plus the 4-channel attention features
+    and regresses the 22 = 3 (global_orient) + 6 (PCA pose) + 10 (betas) +
+    3 (transl) MANO parameters. The MANO mesh itself is applied outside the
+    learned module (see ``apply_mano``).
+    """
+
+    n_pose_params: int = 6
+    n_shape_params: int = 10
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jax.Array,        # [B, N, 3]
+        features: jax.Array,   # [B, N, 4]
+        train: bool = False,
+        fps_key: Optional[jax.Array] = None,
+    ) -> Dict[str, jax.Array]:
+        l1_xyz, l1_points = SetAbstractionMsg(
+            npoint=128,
+            radius_list=(0.4, 0.8),
+            nsample_list=(64, 128),
+            mlps=((128, 128, 256), (128, 196, 256)),
+            name="sa1",
+        )(xyz, features, train, fps_key)
+        _, l2_points = SetAbstractionAll(mlp=(256, 512), name="sa2")(
+            l1_xyz, l1_points, train
+        )
+        x = l2_points[:, 0, :]  # [B, 512]
+
+        # torch Sequential slots: fc0, ReLU, BN, Dropout(0.3), fc1
+        x = nn.Dense(1024, name="fc_0")(x)
+        x = nn.relu(x)
+        x = _bn(train, "bn")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        out = nn.Dense(3 + self.n_pose_params + self.n_shape_params + 3, name="fc_1")(x)
+
+        np_, ns = self.n_pose_params, self.n_shape_params
+        return {
+            "global_orient": out[:, :3],
+            "hand_pose": out[:, 3 : 3 + np_],
+            "betas": out[:, 3 + np_ : 3 + np_ + ns],
+            "transl": out[:, -3:],
+        }
+
+
+class TEHNet(nn.Module):
+    """Full network: events [B, N, C_in] -> segmentation logits + per-hand
+    MANO parameters (``TEHNet.py:115-197``)."""
+
+    cfg: ModelConfig = ModelConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        events: jax.Array,  # [B, N, C_in] normalized ERPC cloud
+        train: bool = False,
+    ) -> Dict[str, jax.Array]:
+        cfg = self.cfg
+        l0_points = events
+        l0_xyz = events[..., :3]
+        if cfg.mhlnes:
+            # replace the time coordinate with the mean polarity channels
+            l0_xyz = l0_xyz.at[..., 2].set(jnp.mean(events[..., 3:], axis=-1))
+
+        if cfg.fps_deterministic or not train:
+            keys = [None] * 4
+        else:
+            keys = list(jax.random.split(self.make_rng("fps"), 4))
+
+        l1_xyz, l1_points = SetAbstractionMsg(
+            npoint=512,
+            radius_list=(0.1, 0.2, 0.4),
+            nsample_list=(32, 64, 128),
+            mlps=((32, 32, 64), (64, 64, 128), (64, 96, 128)),
+            name="sa1",
+        )(l0_xyz, l0_points, train, keys[0])
+        l2_xyz, l2_points = SetAbstractionMsg(
+            npoint=128,
+            radius_list=(0.4, 0.8),
+            nsample_list=(64, 128),
+            mlps=((128, 128, 256), (128, 196, 256)),
+            name="sa2",
+        )(l1_xyz, l1_points, train, keys[1])
+        l3_xyz, l3_points = SetAbstractionAll(mlp=(256, 512, 1024), name="sa3")(
+            l2_xyz, l2_points, train
+        )
+
+        l2_points = FeaturePropagation(mlp=(256, 256), name="fp3")(
+            l2_xyz, l3_xyz, l2_points, l3_points, train
+        )
+        l1_points = FeaturePropagation(mlp=(256, 128), name="fp2")(
+            l1_xyz, l2_xyz, l1_points, l2_points, train
+        )
+        l0_feats = FeaturePropagation(mlp=(128, 128, 256), name="fp1")(
+            l0_xyz, l1_xyz, None, l1_points, train
+        )
+
+        # classifier: conv0, ReLU, BN, Dropout(0.3), conv1 (k=1 convs = Dense)
+        x = nn.Dense(256, name="classifier_conv_0")(l0_feats)
+        x = nn.relu(x)
+        x = _bn(train, "classifier_bn")(x)
+        x = nn.Dropout(cfg.dropout_classifier, deterministic=not train)(x)
+        seg_logits = nn.Dense(cfg.num_classes, name="classifier_conv_1")(x)
+
+        feat_fuse = l0_feats
+        left_query = QueryConv(dropout=cfg.dropout_query, name="left_query_conv")(
+            feat_fuse, train
+        )
+        right_query = QueryConv(dropout=cfg.dropout_query, name="right_query_conv")(
+            feat_fuse, train
+        )
+        left_features = attention_block(seg_logits, feat_fuse, left_query)
+        right_features = attention_block(seg_logits, feat_fuse, right_query)
+
+        left = ManoRegressor(
+            dropout=cfg.dropout_regressor, name="left_mano_regressor"
+        )(l0_xyz, left_features, train, keys[2])
+        right = ManoRegressor(
+            dropout=cfg.dropout_regressor, name="right_mano_regressor"
+        )(l0_xyz, right_features, train, keys[3])
+
+        return {"class_logits": seg_logits, "left": left, "right": right}
+
+
+def apply_mano(
+    hands: Dict[str, ManoParams], outputs: Dict[str, Dict[str, jax.Array]]
+) -> Dict[str, Dict[str, jax.Array]]:
+    """Attach MANO vertices / 21 joints to the regressed parameters
+    (the reference does this inside ``MANORegressor.forward`` at
+    ``TEHNet.py:103-105``; here it is a pure function of constant params)."""
+    out = dict(outputs)
+    for side in ("left", "right"):
+        res = mano_forward(
+            hands[side],
+            outputs[side]["global_orient"],
+            outputs[side]["hand_pose"],
+            outputs[side]["betas"],
+            outputs[side]["transl"],
+        )
+        out[side] = dict(outputs[side], vertices=res.vertices, j3d=res.joints)
+    return out
+
+
+def tehnet_forward(
+    model: TEHNet,
+    variables: Dict,
+    hands: Dict[str, ManoParams],
+    events: jax.Array,
+    train: bool = False,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+):
+    """Convenience full forward: network + MANO. Returns (outputs, updates)
+    where updates holds new batch_stats when training."""
+    if train:
+        outputs, updates = model.apply(
+            variables, events, train=True, rngs=rngs, mutable=["batch_stats"]
+        )
+    else:
+        outputs = model.apply(variables, events, train=False, rngs=rngs)
+        updates = None
+    return apply_mano(hands, outputs), updates

@@ -1,0 +1,177 @@
+"""Core point-cloud ops for PointNet++-style networks, as fixed-shape JAX.
+
+TPU-native re-designs of the reference's pure-PyTorch ops
+(``src/Ev2Hands/model/pointnet2_utils.py``):
+
+* ``farthest_point_sample`` — the reference runs a sequential Python loop of
+  ``npoint`` iterations (``pointnet2_utils.py:77-83``); here it is a
+  ``lax.scan`` with an in-register distance carry, so the whole sampling
+  compiles into the surrounding XLA program.
+* ``query_ball_point`` — the reference builds an [B,S,N] index grid, writes a
+  sentinel N for out-of-radius points, sorts, takes the first ``nsample`` and
+  backfills with the first in-radius index (``pointnet2_utils.py:87-107``).
+  We reproduce those semantics exactly (smallest-index-first selection,
+  first-point backfill) with a single ``lax.top_k`` instead of a full sort.
+* ``three_nn_interpolate`` — inverse-distance-weighted 3-NN feature
+  propagation (``pointnet2_utils.py:293-303``) via ``top_k`` instead of a
+  full sort.
+
+Layout convention: channels-last ``[B, N, C]`` everywhere (the natural layout
+for XLA on TPU); the reference's ``[B, C, N]``/permute dance does not exist
+here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Pairwise squared euclidean distance, [B, N, C] x [B, M, C] -> [B, N, M].
+
+    Uses the |a|^2 + |b|^2 - 2ab expansion so the inner product hits the MXU
+    (reference: ``pointnet2_utils.py:19-40``).
+    """
+    d = -2.0 * jnp.einsum(
+        "bnc,bmc->bnm", src, dst, precision=jax.lax.Precision.HIGHEST
+    )
+    d = d + jnp.sum(src**2, axis=-1)[:, :, None]
+    d = d + jnp.sum(dst**2, axis=-1)[:, None, :]
+    return d
+
+
+def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched gather: points [B, N, C], idx [B, ...] -> [B, ..., C]."""
+    return jax.vmap(lambda p, i: p[i])(points, idx)
+
+
+def farthest_point_sample(
+    xyz: jax.Array,
+    npoint: int,
+    key: Optional[jax.Array] = None,
+    start_idx: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Farthest-point sampling, [B, N, 3] -> [B, npoint] int32 indices.
+
+    Matches the reference algorithm (greedy max-min over running nearest
+    distances, ``pointnet2_utils.py:63-84``) including its random start point
+    (``torch.randint`` at ``:75``); pass ``key`` for a random start or
+    ``start_idx``/nothing for a deterministic start at index 0.
+    """
+    B, N, _ = xyz.shape
+    if key is not None:
+        farthest = jax.random.randint(key, (B,), 0, N)
+    elif start_idx is not None:
+        farthest = jnp.broadcast_to(jnp.asarray(start_idx, jnp.int32), (B,))
+    else:
+        farthest = jnp.zeros((B,), jnp.int32)
+
+    def step(carry, _):
+        distance, farthest = carry
+        centroid = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)  # [B,1,3]
+        dist = jnp.sum((xyz - centroid) ** 2, axis=-1)  # [B, N]
+        distance = jnp.minimum(distance, dist)
+        next_farthest = jnp.argmax(distance, axis=-1).astype(jnp.int32)
+        return (distance, next_farthest), farthest
+
+    init = (jnp.full((B, N), 1e10, xyz.dtype), farthest.astype(jnp.int32))
+    _, centroids = jax.lax.scan(step, init, None, length=npoint)
+    return centroids.T  # [B, npoint]
+
+
+def query_ball_point(
+    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array
+) -> jax.Array:
+    """Radius neighborhood query, -> [B, S, nsample] int32 indices.
+
+    Reference semantics (``pointnet2_utils.py:87-107``): for each query point,
+    the ``nsample`` *lowest-index* points within ``radius``; slots beyond the
+    in-radius count are backfilled with the first in-radius index. If a query
+    has no in-radius point at all (cannot happen when queries are sampled from
+    ``xyz``), indices clamp to 0 instead of the reference's out-of-bounds N.
+    """
+    B, N, _ = xyz.shape
+    sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
+    arange = jnp.arange(N, dtype=jnp.int32)
+    scores = jnp.where(sqrdists <= radius**2, arange, N)  # [B, S, N]
+    # nsample smallest scores in ascending order == reference's sort+slice.
+    # (nsample can exceed N for tiny debug clouds; extra slots backfill.)
+    k = min(nsample, N)
+    neg_topk, _ = jax.lax.top_k(-scores, k)
+    group_idx = -neg_topk  # [B, S, k], ascending
+    first = group_idx[:, :, :1]
+    group_idx = jnp.where(group_idx == N, first, group_idx)
+    if k < nsample:
+        pad = jnp.broadcast_to(first, (B, group_idx.shape[1], nsample - k))
+        group_idx = jnp.concatenate([group_idx, pad], axis=-1)
+    return jnp.minimum(group_idx, N - 1)
+
+
+def sample_and_group(
+    npoint: int,
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    points: Optional[jax.Array],
+    fps_idx: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """FPS + ball query + relative grouping (``pointnet2_utils.py:110-138``).
+
+    Returns (new_xyz [B, S, 3], grouped [B, S, nsample, 3+D]); grouped
+    features are the centered xyz concat any input features.
+    """
+    B, N, C = xyz.shape
+    if fps_idx is None:
+        fps_idx = farthest_point_sample(xyz, npoint, key=key)
+    new_xyz = index_points(xyz, fps_idx)  # [B, S, C]
+    idx = query_ball_point(radius, nsample, xyz, new_xyz)
+    grouped_xyz = index_points(xyz, idx)  # [B, S, nsample, C]
+    grouped_xyz_norm = grouped_xyz - new_xyz[:, :, None, :]
+    if points is not None:
+        grouped_points = index_points(points, idx)
+        grouped = jnp.concatenate([grouped_xyz_norm, grouped_points], axis=-1)
+    else:
+        grouped = grouped_xyz_norm
+    return new_xyz, grouped
+
+
+def group_all(xyz: jax.Array, points: Optional[jax.Array]) -> Tuple[jax.Array, jax.Array]:
+    """Single global group (``pointnet2_utils.py:141-158``): new_xyz is the
+    origin; grouped features are the *raw* (uncentered) xyz concat features."""
+    B, N, C = xyz.shape
+    new_xyz = jnp.zeros((B, 1, C), xyz.dtype)
+    grouped_xyz = xyz[:, None, :, :]
+    if points is not None:
+        grouped = jnp.concatenate([grouped_xyz, points[:, None, :, :]], axis=-1)
+    else:
+        grouped = grouped_xyz
+    return new_xyz, grouped
+
+
+def three_nn_interpolate(
+    xyz1: jax.Array, xyz2: jax.Array, points2: jax.Array
+) -> jax.Array:
+    """Inverse-distance-weighted 3-NN interpolation of features from the
+    coarse set (xyz2, points2) onto the dense set xyz1.
+
+    xyz1 [B, N, C], xyz2 [B, S, C], points2 [B, S, D] -> [B, N, D]
+    (reference: ``pointnet2_utils.py:293-303``).
+    """
+    dists = square_distance(xyz1, xyz2)  # [B, N, S]
+    neg_d, idx = jax.lax.top_k(-dists, 3)
+    d3 = -neg_d  # [B, N, 3] ascending squared distances
+    recip = 1.0 / (d3 + 1e-8)
+    weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
+    neighbors = index_points(points2, idx)  # [B, N, 3, D]
+    return jnp.sum(neighbors * weight[..., None], axis=2)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def fps_jit(xyz: jax.Array, npoint: int) -> jax.Array:
+    """Standalone jitted FPS (deterministic start) for benchmarking."""
+    return farthest_point_sample(xyz, npoint)

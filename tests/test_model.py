@@ -1,0 +1,153 @@
+"""TEHNet structure/shape/semantics tests (small N for CPU speed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ev2hands_tpu.config import ModelConfig
+from ev2hands_tpu.model import TEHNet, apply_mano, attention_block, tehnet_forward
+
+
+@pytest.fixture(scope="module")
+def small_net():
+    cfg = ModelConfig(n_points=256, fps_deterministic=True)
+    net = TEHNet(cfg=cfg)
+    x = jnp.zeros((2, 256, 5))
+    variables = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    return net, variables
+
+
+def test_forward_shapes(small_net):
+    net, variables = small_net
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 256, 5))
+    out = net.apply(variables, x, train=False)
+    assert out["class_logits"].shape == (2, 256, 4)
+    for side in ("left", "right"):
+        assert out[side]["global_orient"].shape == (2, 3)
+        assert out[side]["hand_pose"].shape == (2, 6)
+        assert out[side]["betas"].shape == (2, 10)
+        assert out[side]["transl"].shape == (2, 3)
+
+
+def test_param_tree_structure(small_net):
+    net, variables = small_net
+    p = variables["params"]
+    # encoder/decoder blocks present with torch-mirroring leaf names
+    for blk in ("sa1", "sa2", "sa3", "fp3", "fp2", "fp1"):
+        assert blk in p, sorted(p)
+    assert p["sa1"]["conv_0_0"]["kernel"].shape == (8, 32)     # (5+3) -> 32
+    assert p["sa2"]["conv_1_2"]["kernel"].shape == (196, 256)
+    assert p["sa3"]["conv_2"]["kernel"].shape == (512, 1024)
+    assert p["fp3"]["conv_0"]["kernel"].shape == (1536, 256)
+    assert p["fp2"]["conv_0"]["kernel"].shape == (576, 256)
+    assert p["fp1"]["conv_0"]["kernel"].shape == (128, 128)
+    assert p["classifier_conv_1"]["kernel"].shape == (256, 4)
+    assert p["left_query_conv"]["conv_0"]["kernel"].shape == (3, 256, 256)
+    assert p["left_mano_regressor"]["sa1"]["conv_0_0"]["kernel"].shape == (7, 128)
+    assert p["left_mano_regressor"]["fc_0"]["kernel"].shape == (512, 1024)
+    assert p["left_mano_regressor"]["fc_1"]["kernel"].shape == (1024, 22)
+
+
+def test_param_count_matches_reference_architecture(small_net):
+    """Total trainable parameter count is architecture-determined; computed
+    independently from the reference channel spec."""
+    net, variables = small_net
+    n = sum(np.prod(x.shape) for x in jax.tree.leaves(variables["params"]))
+
+    def conv(i, o):  # 1x1 conv + bias
+        return i * o + o
+
+    def bn(c):
+        return 2 * c
+
+    def msg(in_ch, mlps):
+        total = 0
+        for mlp in mlps:
+            last = in_ch + 3
+            for w in mlp:
+                total += conv(last, w) + bn(w)
+                last = w
+        return total
+
+    expect = 0
+    expect += msg(5, [[32, 32, 64], [64, 64, 128], [64, 96, 128]])      # sa1
+    expect += msg(320, [[128, 128, 256], [128, 196, 256]])              # sa2
+    last = 512 + 3
+    for w in (256, 512, 1024):
+        expect += conv(last, w) + bn(w); last = w                        # sa3
+    for in_ch, mlp in ((1536, (256, 256)), (576, (256, 128)), (128, (128, 128, 256))):
+        last = in_ch
+        for w in mlp:
+            expect += conv(last, w) + bn(w); last = w                    # fp3/2/1
+    expect += conv(256, 256) + bn(256) + conv(256, 4)                    # classifier
+    expect += 2 * (2 * (3 * 256 * 256 + 256) + 2 * bn(256))              # query convs
+    per_reg = msg(4, [[128, 128, 256], [128, 196, 256]])
+    last = 512 + 3
+    for w in (256, 512):
+        per_reg += conv(last, w) + bn(w); last = w
+    per_reg += (512 * 1024 + 1024) + bn(1024) + (1024 * 22 + 22)
+    expect += 2 * per_reg
+    assert int(n) == expect
+
+
+def test_attention_block_semantics(rng):
+    B, N, KC, C = 2, 16, 4, 8
+    key = jnp.asarray(rng.randn(B, N, KC), jnp.float32)
+    value = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    query = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    out = np.asarray(attention_block(key, value, query))
+    assert out.shape == (B, N, KC)
+
+    # oracle in torch layout: sim=softmax(K V^T? ...) as bmm chain
+    k = np.asarray(key).transpose(0, 2, 1)      # [B, KC, N]
+    q = np.asarray(query)                        # [B, N, C]
+    v = np.asarray(value).transpose(0, 2, 1)     # [B, C, N]
+    sim = np.einsum("bkn,bnc->bkc", k, q) * (KC**-0.5)
+    sim = np.exp(sim - sim.max(1, keepdims=True))
+    sim = sim / sim.sum(1, keepdims=True)
+    ctx = np.einsum("bkc,bcn->bkn", sim, v).transpose(0, 2, 1)
+    np.testing.assert_allclose(out, ctx, atol=1e-4)
+
+
+def test_train_mode_updates_batch_stats(small_net):
+    net, variables = small_net
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 256, 5))
+    out, updates = net.apply(
+        variables, x, train=True,
+        rngs={"dropout": jax.random.PRNGKey(3), "fps": jax.random.PRNGKey(4)},
+        mutable=["batch_stats"],
+    )
+    old = variables["batch_stats"]["sa1"]["bn_0_0"]["mean"]
+    new = updates["batch_stats"]["sa1"]["bn_0_0"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_full_forward_with_mano(small_net, mano_hands):
+    net, variables = small_net
+    hands = {s: h.params for s, h in mano_hands.items()}
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 256, 5))
+    out, _ = tehnet_forward(net, variables, hands, x, train=False)
+    assert out["left"]["vertices"].shape == (2, 778, 3)
+    assert out["right"]["j3d"].shape == (2, 21, 3)
+    assert np.all(np.isfinite(np.asarray(out["left"]["vertices"])))
+
+
+def test_forward_jits_and_is_deterministic(small_net):
+    net, variables = small_net
+    fwd = jax.jit(lambda v, x: net.apply(v, x, train=False))
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 256, 5))
+    a = fwd(variables, x)
+    b = fwd(variables, x)
+    np.testing.assert_array_equal(
+        np.asarray(a["class_logits"]), np.asarray(b["class_logits"])
+    )
+
+
+def test_mhlnes_changes_geometry_branch():
+    cfg = ModelConfig(n_points=64, mhlnes=True, fps_deterministic=True)
+    net = TEHNet(cfg=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 5))
+    variables = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = net.apply(variables, x, train=False)
+    assert out["class_logits"].shape == (1, 64, 4)
