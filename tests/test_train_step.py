@@ -1,0 +1,135 @@
+"""End-to-end training-step tests on synthetic data: single jitted step
+reduces loss, evaluation runs, checkpointing round-trips, and the whole
+pipeline is exercised from raw H5 windows."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ev2hands_tpu.config import Config, DEFAULT_CONFIG
+from ev2hands_tpu.events.streams import (
+    Ev2HandSReader,
+    Prefetcher,
+    pack_mano_gt,
+    write_synthetic_ev2hands_s,
+)
+from ev2hands_tpu.model import TEHNet
+from ev2hands_tpu.train import (
+    build_collision_context,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def small_config(n_points=128):
+    c = DEFAULT_CONFIG
+    model = c.model.__class__(n_points=n_points, fps_deterministic=True)
+    sensor = c.sensor.__class__(width=64, height=48)
+    train = c.train.__class__(batch_size=2, eval_batch_size=2, max_eval_iters=4)
+    loss = c.loss.__class__(collision_max_pairs=32)
+    return c.replace(model=model, sensor=sensor, train=train, loss=loss)
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory, mano_hands):
+    cfg = small_config()
+    root = str(tmp_path_factory.mktemp("data") / "train")
+    write_synthetic_ev2hands_s(root, n_events=8192, n_frames=8,
+                               width=cfg.sensor.width, height=cfg.sensor.height)
+    reader = Ev2HandSReader(root, n_events=cfg.model.n_points)
+
+    hands = {s: h.params for s, h in mano_hands.items()}
+    ctx = build_collision_context(mano_hands)
+    net = TEHNet(cfg=cfg.model)
+    optimizer = optax.adam(1e-3)
+    # the train step donates its state argument, so each test gets a fresh one
+    new_state = lambda: create_train_state(net, cfg, jax.random.PRNGKey(0), optimizer)
+    return cfg, reader, hands, ctx, net, optimizer, new_state
+
+
+def test_reader_batch_structure(pipeline):
+    cfg, reader, *_ = pipeline
+    batch = next(reader.batches(2))
+    assert batch["events"].shape == (2, cfg.model.n_points, 4)
+    assert batch["labels"].shape == (2, cfg.model.n_points)
+    assert batch["left"]["hand_pose"].shape == (2, 45)
+    assert batch["handedness"].shape == (2, 2)
+    assert set(batch["left"]) == {"global_orient", "hand_pose", "shape", "trans", "valid"}
+
+
+def test_missing_hand_mirrors_with_invalid():
+    info = {"right": {
+        "global_orient": np.zeros(3), "hand_pose": np.zeros(45),
+        "shape": np.zeros(10), "trans": np.ones(3),
+    }}
+    gt = pack_mano_gt(info)
+    assert gt["left"]["valid"] == 0.0 and gt["right"]["valid"] == 1.0
+    np.testing.assert_array_equal(gt["handedness"], [0, 1])
+    np.testing.assert_array_equal(gt["left"]["trans"], gt["right"]["trans"])
+
+
+def test_train_step_runs_and_learns(pipeline):
+    cfg, reader, hands, ctx, net, optimizer, new_state = pipeline
+    state = new_state()
+    step = make_train_step(net, hands, ctx, cfg, optimizer, augment=False)
+    key = jax.random.PRNGKey(1)
+    batch = next(reader.batches(2, shuffle=False))
+
+    # per-step loss is noisy (fresh ERPC resample each step, train-mode BN);
+    # compare a head/tail window average over repeated steps on one batch
+    hist = []
+    for _ in range(22):
+        state, losses = step(state, batch, key)
+        hist.append(float(losses["loss"]))
+    assert np.all(np.isfinite(hist))
+    assert np.mean(hist[-5:]) < np.mean(hist[:5])
+    assert int(state.step) == 22
+
+
+def test_eval_step_and_metrics(pipeline):
+    cfg, reader, hands, ctx, net, optimizer, new_state = pipeline
+    state = new_state()
+    eval_step = make_eval_step(net, hands, cfg)
+    batch = next(reader.batches(2, shuffle=False))
+    pred, gt = eval_step(state, batch, jax.random.PRNGKey(0))
+    assert pred.shape == (2, 2, 21, 3)
+    assert gt.shape == (2, 2, 21, 3)
+    assert np.isfinite(np.asarray(pred)).all()
+
+    from ev2hands_tpu.train import evaluate
+
+    metrics, score = evaluate(eval_step, state, reader, cfg, max_frames=4)
+    assert 0 <= score <= 1
+    assert metrics["pck3d"]["relative"].shape == (51,)
+
+
+def test_prefetcher_preserves_order(pipeline):
+    _, reader, *_ = pipeline
+    direct = [b["events"].sum() for b in reader.batches(2, shuffle=False, max_batches=3)]
+    pre = [b["events"].sum() for b in Prefetcher(
+        reader.batches(2, shuffle=False, max_batches=3))]
+    np.testing.assert_allclose(direct, pre)
+
+
+def test_native_checkpoint_roundtrip(pipeline, tmp_path):
+    from ev2hands_tpu.checkpoint import NativeCheckpointer
+
+    cfg, reader, hands, ctx, net, optimizer, new_state = pipeline
+    state = new_state()
+    ckptr = NativeCheckpointer(str(tmp_path / "ckpt"))
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "step": 7,
+    }
+    ckptr.save(7, payload)
+    assert ckptr.latest_step() == 7
+    restored = ckptr.restore(7, payload)
+    a = jax.tree.leaves(restored["params"])[0]
+    b = jax.tree.leaves(payload["params"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
