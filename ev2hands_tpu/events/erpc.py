@@ -48,17 +48,22 @@ class ErpcWindow(NamedTuple):
 
 
 def rasterize_erpc(
-    events: jax.Array,   # [N, 4] float32: x, y, t (ns), p (1 / not-1)
+    events: jax.Array,   # [N, 4] float32: x, y, t, p (1 / not-1)
     labels: jax.Array,   # [N] int32
     width: int,
     height: int,
+    event_valid: jax.Array = None,  # [N] bool — mask for padded events
+    time_scale: float = 1e-6,       # ns -> ms for synthetic; 1.0 for real ms
+    max_pixels: int = None,         # static output row bound (default N)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Accumulate a raw event window into the per-pixel ERPC representation.
 
-    Returns (feats [N, 5], pixel_labels [N], n_valid scalar int32): up to N
-    nonzero pixels in row-major (y, x) order, padded with zeros.
+    Returns (feats [P, 5], pixel_labels [P], n_valid scalar int32): up to
+    P = max_pixels nonzero pixels in row-major (y, x) order, padded with
+    zeros. Padded/invalid events are routed to a dummy pixel and dropped.
     """
     N = events.shape[0]
+    P = max_pixels or N
     num_pixels = width * height
 
     x = events[:, 0].astype(jnp.int32)
@@ -66,22 +71,27 @@ def rasterize_erpc(
     t = events[:, 2]
     p = events[:, 3]
     pix = y * width + x  # row-major pixel id
+    if event_valid is not None:
+        pix = jnp.where(event_valid, pix, num_pixels)  # dummy bucket
 
-    t_sum = jax.ops.segment_sum(t, pix, num_segments=num_pixels)
-    pos = jax.ops.segment_sum((p == 1).astype(jnp.float32), pix, num_segments=num_pixels)
-    neg = jax.ops.segment_sum((p != 1).astype(jnp.float32), pix, num_segments=num_pixels)
-    cnt = jax.ops.segment_sum(jnp.ones_like(t), pix, num_segments=num_pixels)
-    lab = jax.ops.segment_max(labels, pix, num_segments=num_pixels)
+    nseg = num_pixels + 1
+    ones = jnp.ones_like(t)
+    t_sum = jax.ops.segment_sum(t, pix, num_segments=nseg)
+    pos = jax.ops.segment_sum((p == 1).astype(jnp.float32), pix, num_segments=nseg)
+    neg = jax.ops.segment_sum((p != 1).astype(jnp.float32), pix, num_segments=nseg)
+    cnt = jax.ops.segment_sum(ones, pix, num_segments=nseg)
+    lab = jax.ops.segment_max(labels, pix, num_segments=nseg)
+    cnt = cnt.at[num_pixels].set(0.0)  # dummy bucket never counts as occupied
 
-    # Nonzero pixels in ascending row-major order, static bound N.
-    occupied = cnt > 0
+    # Nonzero pixels in ascending row-major order, static bound P.
+    occupied = cnt[:num_pixels] > 0
     scores = jnp.where(occupied, jnp.arange(num_pixels, dtype=jnp.int32), num_pixels)
-    neg_topk, _ = jax.lax.top_k(-scores, N)
+    neg_topk, _ = jax.lax.top_k(-scores, P)
     pid = -neg_topk  # ascending pixel ids, padded with num_pixels
     valid = pid < num_pixels
     pid_safe = jnp.minimum(pid, num_pixels - 1)
 
-    t_avg_ms = (t_sum[pid_safe] / jnp.maximum(cnt[pid_safe], 1.0)) * 1e-6  # ns -> ms
+    t_avg_ms = (t_sum[pid_safe] / jnp.maximum(cnt[pid_safe], 1.0)) * time_scale
     feats = jnp.stack(
         [
             (pid_safe % width).astype(jnp.float32),
@@ -165,19 +175,28 @@ def normalize_erpc(feats: jax.Array, width: int, height: int) -> jax.Array:
     return jnp.stack([x, y, t, feats[:, 3], feats[:, 4]], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "n_out", "augment"))
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "n_out", "augment", "time_scale", "max_pixels"),
+)
 def erpc_window_transform(
-    events: jax.Array,   # [N, 4] raw window: x, y, t_ns, p
+    events: jax.Array,   # [N, 4] raw window: x, y, t, p
     labels: jax.Array,   # [N] int32
     key: jax.Array,
     width: int = 346,
     height: int = 260,
     n_out: int = 2048,
     augment: bool = False,
+    event_valid: jax.Array = None,
+    time_scale: float = 1e-6,
+    max_pixels: int = None,
 ) -> ErpcWindow:
     """Full raw-window -> normalized ERPC cloud transform (single window)."""
-    k_aug, k_gate, k_noise, k_sample = jax.random.split(key, 4)
-    feats, pix_labels, n_valid = rasterize_erpc(events, labels, width, height)
+    k_gate, k_noise, k_sample = jax.random.split(key, 3)
+    feats, pix_labels, n_valid = rasterize_erpc(
+        events, labels, width, height,
+        event_valid=event_valid, time_scale=time_scale, max_pixels=max_pixels,
+    )
 
     P = feats.shape[0]
     n_noise = n_out // 32
@@ -214,3 +233,28 @@ def erpc_batch_transform(
         e, l, k, width=width, height=height, n_out=n_out, augment=augment
     )
     return jax.vmap(fn)(events, labels, keys)
+
+
+def erpc_real_batch_transform(
+    events: jax.Array,       # [B, N, 4] variable-length windows, padded
+    event_valid: jax.Array,  # [B, N] bool
+    key: jax.Array,
+    width: int = 346,
+    height: int = 260,
+    n_out: int = 2048,
+    max_pixels: int = None,
+) -> ErpcWindow:
+    """Real-data batched transform: masked variable-length windows with
+    millisecond timestamps, no labels, no noise augmentation
+    (``dataset/ev2hands_r.py:110-133``, ``evaluation_stream.py:187-214``).
+    ``max_pixels`` bounds the nonzero-pixel extraction (default n_out*2)."""
+    B, N, _ = events.shape
+    mp = max_pixels or min(N, max(n_out * 2, 2048))
+    keys = jax.random.split(key, B)
+    labels = jnp.zeros((B, N), jnp.int32)
+
+    fn = lambda e, l, v, k: erpc_window_transform(
+        e, l, k, width=width, height=height, n_out=n_out, augment=False,
+        event_valid=v, time_scale=1.0, max_pixels=mp,
+    )
+    return jax.vmap(fn)(events, labels, event_valid, keys)

@@ -1,0 +1,165 @@
+"""Finetuning on real Ev2Hands-R recordings.
+
+Re-design of ``src/Ev2Hands/finetune.py``: warm-start from a pretrained
+checkpoint, train with the real-data loss (no MANO GT; root-relative j3d +
+2-D reprojection + inter-hand consistency, ``losses.py:208-240``) for 15k
+iterations at batch 8. The step consumes masked variable-length raw windows;
+the ERPC transform runs on device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ev2hands_tpu.config import Config, DEFAULT_CONFIG
+from ev2hands_tpu.events.erpc import erpc_real_batch_transform
+from ev2hands_tpu.events.real_streams import Ev2HandRReader
+from ev2hands_tpu.losses import real_losses, total_loss
+from ev2hands_tpu.model import TEHNet, apply_mano
+from ev2hands_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from ev2hands_tpu.train import (
+    TrainState,
+    build_collision_context,
+    build_hands,
+    create_train_state,
+)
+from ev2hands_tpu.utils.logging import RunLogger
+
+
+def make_finetune_step(net, hands, ctx, cfg: Config, optimizer, projection_matrix):
+    sensor = cfg.sensor
+    proj = jnp.asarray(projection_matrix, jnp.float32)
+
+    def step_fn(state: TrainState, batch: Dict, key: jax.Array):
+        k_erpc, k_drop, k_fps = jax.random.split(
+            jax.random.fold_in(key, state.step), 3
+        )
+        erpc = erpc_real_batch_transform(
+            batch["events"], batch["event_valid"], k_erpc,
+            width=sensor.width, height=sensor.height, n_out=cfg.model.n_points,
+        )
+        targets = {
+            "left": batch["left"], "right": batch["right"],
+            "handedness": batch["handedness"],
+        }
+
+        def loss_fn(params):
+            outputs, updates = net.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                erpc.events, train=True,
+                rngs={"dropout": k_drop, "fps": k_fps},
+                mutable=["batch_stats"],
+            )
+            outputs = apply_mano(hands, outputs)
+            losses = real_losses(
+                outputs, targets, ctx, proj, sensor.width, sensor.height, cfg.loss
+            )
+            return total_loss(losses), (losses, updates["batch_stats"])
+
+        (loss, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_stats, new_opt, state.step + 1),
+            dict(losses, loss=loss),
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def finetune(
+    cfg: Config = DEFAULT_CONFIG,
+    data_root: str = "",
+    checkpoint_path: str = "",
+    max_iter: int = 15_000,
+    save_iter: int = 5_000,
+    synthetic_mano: bool = False,
+) -> TrainState:
+    from ev2hands_tpu.checkpoint import NativeCheckpointer
+
+    logger = RunLogger("finetune")
+    hands_obj = build_hands(cfg, synthetic=synthetic_mano)
+    hands = {s: h.params for s, h in hands_obj.items()}
+    ctx = build_collision_context(hands_obj)
+    net = TEHNet(cfg=cfg.model)
+    optimizer = optax.adam(cfg.train.learning_rate)
+    state = create_train_state(net, cfg, jax.random.PRNGKey(cfg.train.seed), optimizer)
+
+    if checkpoint_path:
+        from ev2hands_tpu.evaluate import load_checkpoint_into_state
+
+        state = load_checkpoint_into_state(checkpoint_path, state)
+        logger.info(f"warm-started from {checkpoint_path}")
+
+    mesh = create_mesh(cfg.train.data_parallel) if cfg.train.data_parallel > 1 else None
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    projection = cfg.camera.projection_matrix(cfg.sensor.width, cfg.sensor.height)
+    step = make_finetune_step(net, hands, ctx, cfg, optimizer, projection)
+
+    reader = Ev2HandRReader(data_root, seed=cfg.train.seed)
+    ckptr = NativeCheckpointer(logger.run_dir + "/ckpt")
+    key = jax.random.PRNGKey(cfg.train.seed + 2)
+    loss_log: Dict[str, float] = {}
+    st = time.time()
+
+    for it, batch in enumerate(reader.batches(cfg.train.batch_size)):
+        if it >= max_iter:
+            break
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        state, losses = step(state, batch, key)
+        for k, v in losses.items():
+            loss_log[k] = loss_log.get(k, 0.0) + float(v)
+
+        if (it + 1) % cfg.train.msg_iter == 0:
+            msg = ", ".join(
+                [f"it: {it + 1}/{max_iter}"]
+                + [f"{k}: {v / cfg.train.msg_iter:.3f}" for k, v in loss_log.items()]
+                + [f"time: {time.time() - st:.1f}s"]
+            )
+            logger.info(msg)
+            loss_log, st = {}, time.time()
+
+        if (it + 1) % save_iter == 0:
+            ckptr.save(it + 1, {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+                "step": it + 1,
+            })
+            logger.info(f"saved checkpoint at {it + 1}")
+
+    return state
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Finetune TEHNet on Ev2Hands-R")
+    ap.add_argument("--data_root", required=True)
+    ap.add_argument("--checkpoint_path", default="")
+    ap.add_argument("--max_iter", type=int, default=15_000)
+    ap.add_argument("--save_iter", type=int, default=5_000)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--data_parallel", type=int, default=1)
+    ap.add_argument("--synthetic_mano", action="store_true")
+    args = ap.parse_args()
+
+    cfg = DEFAULT_CONFIG
+    cfg = cfg.replace(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "batch_size": args.batch_size,
+           "data_parallel": args.data_parallel}))
+    finetune(cfg, args.data_root, args.checkpoint_path,
+             args.max_iter, args.save_iter, args.synthetic_mano)
+
+
+if __name__ == "__main__":
+    main()

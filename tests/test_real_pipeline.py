@@ -1,0 +1,146 @@
+"""Real-data (Ev2Hands-R) pipeline tests on a synthetic pickle recording."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ev2hands_tpu.config import DEFAULT_CONFIG
+from ev2hands_tpu.events.erpc import erpc_real_batch_transform
+from ev2hands_tpu.events.real_streams import (
+    Ev2HandRReader,
+    RealStream,
+    write_synthetic_ev2hands_r,
+)
+
+
+@pytest.fixture(scope="module")
+def recording(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("real") / "subject_1.pickle")
+    return write_synthetic_ev2hands_r(path, n_events=30_000, n_frames=20)
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    c = DEFAULT_CONFIG
+    return c.replace(
+        model=c.model.__class__(n_points=256, fps_deterministic=True),
+        loss=c.loss.__class__(collision_max_pairs=16),
+    )
+
+
+def test_stream_loads_and_windows(recording):
+    s = RealStream(recording)
+    assert len(s) == 30_000
+    w = s.window_at(0, window_ms=2.0, min_events=512, capacity=2048)
+    n = int(w["n_events"])
+    assert n >= 512
+    ev = w["events"][:n]
+    # at least window_ms elapsed OR min_events dominated
+    assert ev[-1, 2] - ev[0, 2] >= 0
+    assert w["events"][n:].sum() == 0
+    assert 0 <= w["frame_index"] < 20
+
+
+def test_stream_end_returns_none(recording):
+    s = RealStream(recording)
+    assert s.window_at(len(s) - 1) is None
+
+
+def test_sliding_windows_advance(recording):
+    s = RealStream(recording)
+    gen = s.sliding_windows(capacity=8192)
+    w1 = next(gen)
+    w2 = next(gen)
+    # advance by ~1ms: start times differ
+    assert w2["j3d"].shape == (2, 21, 3)
+    assert w1["events"][0, 2] == 0.0  # origin-shifted
+
+
+def test_joints_2d_projection(recording):
+    s = RealStream(recording)
+    j2d = s.joints_2d(0)
+    assert j2d.shape == (2, 21, 2)
+    assert np.isfinite(j2d).all()
+
+
+def test_real_batch_transform(recording, small_cfg):
+    s = RealStream(recording)
+    ws = [s.window_at(i * 3000, capacity=4096) for i in range(4)]
+    events = jnp.asarray(np.stack([w["events"] for w in ws]))
+    valid = jnp.asarray(np.stack([w["event_valid"] for w in ws]))
+    out = erpc_real_batch_transform(
+        events, valid, jax.random.PRNGKey(0),
+        width=346, height=260, n_out=256,
+    )
+    assert out.events.shape == (4, 256, 5)
+    e = np.asarray(out.events)
+    assert np.isfinite(e).all()
+    assert e[..., 0].min() >= -1 and e[..., 0].max() <= 1
+    # all sampled rows come from real (valid) pixels: polarity counts >= 1
+    assert (e[..., 3] + e[..., 4]).min() >= 1
+
+
+def test_reader_batches(recording):
+    reader = Ev2HandRReader(recording, capacity=4096)
+    batch = next(reader.batches(2))
+    assert batch["events"].shape == (2, 4096, 4)
+    assert batch["left"]["j3d"].shape == (2, 21, 3)
+    assert batch["left"]["j2d"].shape == (2, 21, 2)
+
+
+def test_finetune_step(recording, mano_hands, small_cfg):
+    from ev2hands_tpu.finetune import make_finetune_step
+    from ev2hands_tpu.model import TEHNet
+    from ev2hands_tpu.train import build_collision_context, create_train_state
+
+    cfg = small_cfg
+    hands = {s: h.params for s, h in mano_hands.items()}
+    ctx = build_collision_context(mano_hands)
+    net = TEHNet(cfg=cfg.model)
+    opt = optax.adam(1e-4)
+    state = create_train_state(net, cfg, jax.random.PRNGKey(0), opt)
+    proj = cfg.camera.projection_matrix(cfg.sensor.width, cfg.sensor.height)
+    step = make_finetune_step(net, hands, ctx, cfg, opt, proj)
+
+    reader = Ev2HandRReader(recording, capacity=2048)
+    batch = next(reader.batches(2))
+    state, losses = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["loss"]))
+    assert {"loss_interpen", "loss_rj3d", "loss_j2d", "regularizer_loss"} <= set(losses)
+
+
+def test_evaluate_recording(recording, mano_hands, small_cfg, tmp_path):
+    from ev2hands_tpu.evaluate_real import evaluate_recording, make_real_eval_step
+    from ev2hands_tpu.model import TEHNet
+    from ev2hands_tpu.train import build_collision_context, create_train_state
+
+    cfg = small_cfg
+    hands = {s: h.params for s, h in mano_hands.items()}
+    ctx = build_collision_context(mano_hands)
+    net = TEHNet(cfg=cfg.model)
+    state = create_train_state(net, cfg, jax.random.PRNGKey(0), optax.adam(1e-3))
+    step = make_real_eval_step(net, hands, ctx, cfg)
+
+    stream = RealStream(recording)
+    report = evaluate_recording(step, state, stream, cfg, batch_size=2, max_windows=4)
+    assert report["frames"] >= 2
+    assert np.isfinite(report["mpjpe_mm"])
+    assert 0 <= report["non_collision_pct"] <= 100
+    assert set(report["auc"]) == {"absolute", "relative", "right_root_relative"}
+
+
+def test_demo_renders_video(recording, small_cfg, tmp_path, monkeypatch):
+    import ev2hands_tpu.demo as demo_mod
+
+    # shrink the model for CPU speed
+    monkeypatch.setattr(demo_mod, "DEFAULT_CONFIG", small_cfg)
+    out, n = demo_mod.run_demo(
+        recording, checkpoint_path="", out_path=str(tmp_path / "demo.mp4"),
+        batch_size=2, max_windows=2, synthetic_mano=True,
+    )
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    assert n >= 2
