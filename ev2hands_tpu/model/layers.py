@@ -27,8 +27,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ev2hands_tpu.ops.pallas_ops import fps_auto
 from ev2hands_tpu.ops.pointnet import (
-    farthest_point_sample,
     group_all,
     index_points,
     query_ball_point,
@@ -64,7 +64,7 @@ class SetAbstractionMsg(nn.Module):
         train: bool = False,
         fps_key: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
+        fps_idx = fps_auto(xyz, self.npoint, key=fps_key)
         new_xyz = index_points(xyz, fps_idx)  # [B, S, 3]
 
         outs = []
