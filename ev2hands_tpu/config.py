@@ -72,6 +72,11 @@ class ModelConfig:
     # FPS start selection: the reference draws a random start index
     # (``pointnet2_utils.py:75``); deterministic start makes runs reproducible.
     fps_deterministic: bool = False
+    # Neighborhood grouping backend for the set-abstraction blocks:
+    # 'dense' (gather/sort-free masked pairs; eval numerics identical to
+    # 'gather', training always uses 'gather' for BatchNorm-stat parity) or
+    # 'gather' (the reference's top_k + gather formulation everywhere).
+    grouping: str = "dense"
     dropout_classifier: float = 0.3
     dropout_query: float = 0.1
     dropout_regressor: float = 0.3

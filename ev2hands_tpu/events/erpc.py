@@ -235,6 +235,58 @@ def erpc_batch_transform(
     return jax.vmap(fn)(events, labels, keys)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "n_out", "augment"))
+def raw_window_transform(
+    events: jax.Array,   # [N, 4] raw window: x, y, t, p
+    labels: jax.Array,   # [N] int32
+    key: jax.Array,
+    width: int = 346,
+    height: int = 260,
+    n_out: int = 2048,
+    augment: bool = False,
+) -> ErpcWindow:
+    """Non-ERPC (raw / LNES-style) window transform: the model-input variant
+    selected by ``ModelConfig.erpc=False`` (the reference's 4-column path,
+    ``augmentations.py:56-61``; arch switch ``TEHNet.py:122``).
+
+    No rasterization: resample the raw (x, y, t, p) events to ``n_out``,
+    optionally append N/32 noise events labeled class 3, normalize x,y and
+    min/max-normalize t; polarity stays raw. Output is [n_out, 4].
+    """
+    N = events.shape[0]
+    k_gate, k_noise, k_sample = jax.random.split(key, 3)
+    n_noise = n_out // 32
+
+    if augment:
+        active = jax.random.bernoulli(k_gate, 0.5)
+        kx, ky, kt, kr, kp = jax.random.split(k_noise, 5)
+        xs = jax.random.randint(kx, (n_noise,), 0, width).astype(jnp.float32)
+        ys = jax.random.randint(ky, (n_noise,), 0, height).astype(jnp.float32)
+        src = jax.random.randint(kr, (n_noise,), 0, N)
+        ts = events[src, 2] + jax.random.uniform(kt, (n_noise,)) * 1e3
+        ps = jax.random.bernoulli(kp, 0.5, (n_noise,)).astype(jnp.float32)
+        noise = jnp.stack([xs, ys, ts, ps], -1)
+        buf = jnp.concatenate([events, jnp.where(active, noise, 0.0)], 0)
+        buf_labels = jnp.concatenate(
+            [labels, jnp.where(active, 3, 0) * jnp.ones((n_noise,), jnp.int32)], 0
+        )
+        total = N + jnp.where(active, n_noise, 0)
+    else:
+        buf, buf_labels, total = events, labels, jnp.asarray(N)
+
+    idx = jax.random.randint(k_sample, (n_out,), 0, total)
+    sampled = buf[idx]
+    sampled_labels = buf_labels[idx]
+
+    x = 2.0 * (sampled[:, 0] / width) - 1.0
+    y = 2.0 * (sampled[:, 1] / height) - 1.0
+    t = sampled[:, 2]
+    t_min, t_max = jnp.min(t), jnp.max(t)
+    t = 2.0 * (t - t_min) / jnp.maximum(t_max - t_min, 1e-9) - 1.0
+    out = jnp.stack([x, y, t, sampled[:, 3]], -1)
+    return ErpcWindow(events=out, labels=sampled_labels)
+
+
 def erpc_real_batch_transform(
     events: jax.Array,       # [B, N, 4] variable-length windows, padded
     event_valid: jax.Array,  # [B, N] bool

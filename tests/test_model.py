@@ -151,3 +151,31 @@ def test_mhlnes_changes_geometry_branch():
     variables = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     out = net.apply(variables, x, train=False)
     assert out["class_logits"].shape == (1, 64, 4)
+
+
+def test_dense_grouping_matches_gather():
+    """Eval-mode forward must be numerically equivalent between the dense
+    masked grouping and the reference's gather formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 192, 5))
+    outs = {}
+    for grouping in ("gather", "dense"):
+        cfg = ModelConfig(n_points=192, fps_deterministic=True, grouping=grouping)
+        net = TEHNet(cfg=cfg)
+        variables = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        outs[grouping] = net.apply(variables, x, train=False)
+
+    for key in ("class_logits",):
+        np.testing.assert_allclose(
+            np.asarray(outs["gather"][key]), np.asarray(outs["dense"][key]),
+            atol=1e-4,
+        )
+    for side in ("left", "right"):
+        for k in ("global_orient", "hand_pose", "betas", "transl"):
+            np.testing.assert_allclose(
+                np.asarray(outs["gather"][side][k]),
+                np.asarray(outs["dense"][side][k]),
+                atol=2e-3, rtol=1e-3,
+            )
