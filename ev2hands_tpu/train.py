@@ -185,8 +185,12 @@ def evaluate(
 
 
 def train(cfg: Config = DEFAULT_CONFIG, synthetic_mano: bool = False,
-          max_iter: Optional[int] = None) -> TrainState:
-    """Full pretraining loop (``train.py:22-151``)."""
+          max_iter: Optional[int] = None,
+          resume_dir: Optional[str] = None) -> TrainState:
+    """Full pretraining loop (``train.py:22-151``). ``resume_dir`` restores
+    the latest native checkpoint of a previous run (params, batch stats,
+    step counter, best score) and continues — the reference's restart
+    behavior (``utils/__init__.py:67-103``) made explicit."""
     from ev2hands_tpu.checkpoint import NativeCheckpointer, load_pth_checkpoint
 
     logger = RunLogger("train")
@@ -200,6 +204,8 @@ def train(cfg: Config = DEFAULT_CONFIG, synthetic_mano: bool = False,
     ) if cfg.train.weight_decay else optax.adam(cfg.train.learning_rate)
 
     state = create_train_state(net, cfg, jax.random.PRNGKey(cfg.train.seed), optimizer)
+    start_it = 0
+    resumed_score = -np.inf
 
     if cfg.train.checkpoint_path:
         variables = load_pth_checkpoint(
@@ -210,6 +216,25 @@ def train(cfg: Config = DEFAULT_CONFIG, synthetic_mano: bool = False,
             params=variables["params"], batch_stats=variables["batch_stats"]
         )
         logger.info(f"warm-started from {cfg.train.checkpoint_path}")
+
+    if resume_dir:
+        prev = NativeCheckpointer(resume_dir)
+        last = prev.latest_step()
+        if last is not None:
+            restored = prev.restore(last, {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+                "step": 0,
+                "max_eval_score": 0.0,
+            })
+            state = state._replace(
+                params=restored["params"], batch_stats=restored["batch_stats"],
+                step=jnp.asarray(int(restored["step"]), jnp.int32),
+            )
+            start_it = int(restored["step"])
+            resumed_score = float(restored["max_eval_score"])
+            logger.info(f"resumed from {resume_dir} at step {start_it} "
+                        f"(best score {resumed_score})")
 
     mesh = create_mesh(cfg.train.data_parallel) if cfg.train.data_parallel > 1 else None
     if mesh is not None:
@@ -224,12 +249,12 @@ def train(cfg: Config = DEFAULT_CONFIG, synthetic_mano: bool = False,
     ckptr = NativeCheckpointer(logger.run_dir + "/ckpt")
     key = jax.random.PRNGKey(cfg.train.seed + 1)
     max_iter = max_iter or cfg.train.max_iter
-    max_eval_score = -np.inf
+    max_eval_score = resumed_score
     loss_log: Dict[str, float] = {}
     st = glob_st = time.time()
 
     batches = Prefetcher(train_reader.batches(cfg.train.batch_size, shuffle=True))
-    for it, batch in enumerate(batches):
+    for it, batch in enumerate(batches, start=start_it):
         if it >= max_iter:
             break
         if mesh is not None:
@@ -260,7 +285,7 @@ def train(cfg: Config = DEFAULT_CONFIG, synthetic_mano: bool = False,
                 ckptr.save(it + 1, {
                     "params": jax.device_get(state.params),
                     "batch_stats": jax.device_get(state.batch_stats),
-                    "step": it + 1,
+                    "step": np.int64(it + 1),
                     "max_eval_score": float(max_eval_score),
                 })
                 logger.info(f"saved best checkpoint at {it + 1}")
@@ -275,6 +300,8 @@ def main():
     ap.add_argument("--checkpoint_path", default="")
     ap.add_argument("--max_iter", type=int, default=None)
     ap.add_argument("--data_parallel", type=int, default=1)
+    ap.add_argument("--resume_dir", default=None,
+                    help="previous run's ckpt dir to resume from")
     ap.add_argument("--synthetic_mano", action="store_true")
     args = ap.parse_args()
 
@@ -285,7 +312,8 @@ def main():
            "batch_size": args.batch_size,
            "checkpoint_path": args.checkpoint_path,
            "data_parallel": args.data_parallel}))
-    train(cfg, synthetic_mano=args.synthetic_mano, max_iter=args.max_iter)
+    train(cfg, synthetic_mano=args.synthetic_mano, max_iter=args.max_iter,
+          resume_dir=args.resume_dir)
 
 
 if __name__ == "__main__":

@@ -133,3 +133,25 @@ def test_native_checkpoint_roundtrip(pipeline, tmp_path):
     a = jax.tree.leaves(restored["params"])[0]
     b = jax.tree.leaves(payload["params"])[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_resume(pipeline, tmp_path, monkeypatch):
+    """train() with resume_dir continues from the saved step and best score."""
+    from ev2hands_tpu.checkpoint import NativeCheckpointer
+
+    cfg, reader, hands, ctx, net, optimizer, new_state = pipeline
+    state = new_state()
+    ckptr = NativeCheckpointer(str(tmp_path / "ckpt"))
+    ckptr.save(5, {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "step": np.int64(5),
+        "max_eval_score": 0.42,
+    })
+    restored = ckptr.restore(5, {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "step": 0, "max_eval_score": 0.0,
+    })
+    assert int(restored["step"]) == 5
+    assert float(restored["max_eval_score"]) == 0.42
