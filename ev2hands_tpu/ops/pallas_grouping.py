@@ -12,11 +12,15 @@ coordinates, and the [B, S, C_out] result touch HBM.
 STATUS (v5e, jax 0.9 Mosaic): numerically correct (exact in interpret mode;
 ~1e-2 absolute on-device from MXU bf16 input passes in the conv matmuls) but
 *slower* than the XLA dense path in ``model.layers.SetAbstractionMsg``
-(~33 ms vs ~10 ms per sa1 scale at B=32) — per-grid-step overhead dominates
-at the VMEM-feasible tile sizes (sb=32, nb=256; larger tiles exceed the 16 MB
-scoped VMEM limit). Kept as a documented exploration + test target; NOT wired
-into the model. Revisit with per-step double-buffered DMA and channel-padded
-matmuls.
+(~28 ms vs ~10 ms per sa1 scale at B=32). Two designs were measured: a 3-D
+grid with cross-step scratch accumulators (33 ms/scale, 4096 grid steps) and
+the current 2-D grid with an inner fori over N sub-tiles (28 ms/scale, 256
+steps) — the time is invariant to channel width and grid-step count, so the
+cost sits in Mosaic's lowering of the 3-D elementwise broadcast/mask/max
+chain (layout relayouts), not dispatch or the MXU. Kept as a documented
+exploration + test target; NOT wired into the model. Revisit when Mosaic
+improves 3-D elementwise tiling, or restructure to 2-D [Sb*nb, C] layouts
+end-to-end.
 
 Semantics are identical to ``SetAbstractionMsg`` dense mode (and therefore to
 the reference's gather formulation in eval): neighbors are the first
@@ -38,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
 
 
 class FoldedScale(NamedTuple):
@@ -87,70 +91,74 @@ def fold_scale_params(points, xyz, new_xyz, conv_params, bn_params, eps=1e-5):
 
 
 def _kernel(
-    xyz_ref,      # [1, Nb, 3]
+    xyz_ref,      # [1, N, 3]  — FULL point set resident in VMEM
     cxyz_ref,     # [1, Sb, 3]
-    u_ref,        # [1, Nb, C1]
+    u_ref,        # [1, N, C1]
     v_ref,        # [1, Sb, C1]
     W2_ref, b2_ref, W3_ref, b3_ref,
     out_ref,      # [1, Sb, C3]
-    acc_ref,      # scratch [Sb, C3] f32
-    count_ref,    # scratch [Sb, 1] f32 (running in-radius count)
-    f0_ref,       # scratch [Sb, C3] f32 (fallback: features of point 0)
     *,
     radius: float,
     nsample: int,
-    n_blocks: int,
+    nb: int,      # inner sub-tile size along N
 ):
-    nb = pl.program_id(2)
+    """One (batch, centroid-block) grid step: the inner fori loop walks the N
+    axis in ``nb``-sized sub-tiles, so per-grid-step dispatch overhead is
+    amortized 16x vs a 3-D grid and all pair tensors stay in VMEM."""
+    N = xyz_ref.shape[1]
+    Sb = cxyz_ref.shape[1]
+    C3 = out_ref.shape[2]
+    n_sub = N // nb
 
-    @pl.when(nb == 0)
-    def _init():
-        acc_ref[...] = jnp.full(acc_ref.shape, -jnp.inf, jnp.float32)
-        count_ref[...] = jnp.zeros(count_ref.shape, jnp.float32)
-
-    x = xyz_ref[0]       # [Nb, 3]
     c = cxyz_ref[0]      # [Sb, 3]
-    # exact f32 distances on the VPU: an MXU dot here may run reduced
-    # precision and flip the in-radius mask at the boundary, changing the
-    # selected neighbor set
-    diff = c[:, None, :] - x[None, :, :]           # [Sb, Nb, 3]
-    d2 = jnp.sum(diff * diff, axis=-1)             # [Sb, Nb]
-    maskf = (d2 <= radius * radius).astype(jnp.float32)
+    v = v_ref[0]         # [Sb, C1]
 
-    # inclusive prefix count via triangular matmul (Mosaic has no cumsum):
-    # inc[s, j] = sum_{i<=j} mask[s, i] = mask @ upper_triangular_ones
-    Nb_ = maskf.shape[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (Nb_, Nb_), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (Nb_, Nb_), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
     tri = (rows <= cols).astype(jnp.float32)
-    inc = jnp.dot(maskf, tri, preferred_element_type=jnp.float32)
-    rank = count_ref[...] + inc - maskf                      # exclusive
-    self_f = maskf * (rank < nsample).astype(jnp.float32)    # [Sb, Nb]
-    count_ref[...] = count_ref[...] + inc[:, -1:]
 
-    z = jax.nn.relu(u_ref[0][None, :, :] - v_ref[0][:, None, :])  # [Sb, Nb, C1]
-    Sb, Nb, C1 = z.shape
-    h = jax.nn.relu(
-        jnp.dot(z.reshape(Sb * Nb, C1), W2_ref[...],
-                preferred_element_type=jnp.float32) + b2_ref[...]
+    def body(i, carry):
+        acc, count, f0 = carry
+        x = xyz_ref[0, pl.ds(i * nb, nb), :]   # [nb, 3]
+        u = u_ref[0, pl.ds(i * nb, nb), :]     # [nb, C1]
+
+        # exact f32 distances on the VPU (an MXU dot may flip the boundary)
+        diff = c[:, None, :] - x[None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)     # [Sb, nb]
+        maskf = (d2 <= radius * radius).astype(jnp.float32)
+
+        # inclusive prefix count via triangular matmul (no Mosaic cumsum)
+        inc = jnp.dot(maskf, tri, preferred_element_type=jnp.float32)
+        rank = count + inc - maskf             # exclusive
+        self_f = maskf * (rank < nsample).astype(jnp.float32)
+        count = count + inc[:, -1:]
+
+        z = jax.nn.relu(u[None, :, :] - v[:, None, :])  # [Sb, nb, C1]
+        C1 = z.shape[-1]
+        h = jax.nn.relu(
+            jnp.dot(z.reshape(Sb * nb, C1), W2_ref[...],
+                    preferred_element_type=jnp.float32) + b2_ref[...]
+        )
+        h = jax.nn.relu(
+            jnp.dot(h, W3_ref[...], preferred_element_type=jnp.float32)
+            + b3_ref[...]
+        ).reshape(Sb, nb, -1)
+
+        f0 = jnp.where(i == 0, h[:, 0, :], f0)  # fallback: point 0's features
+        masked = h + ((self_f - 1.0) * 1e30)[:, :, None]
+        acc = jnp.maximum(acc, jnp.max(masked, axis=1))
+        return acc, count, f0
+
+    acc, count, f0 = jax.lax.fori_loop(
+        0, n_sub, body,
+        (
+            jnp.full((Sb, C3), -jnp.inf, jnp.float32),
+            jnp.zeros((Sb, 1), jnp.float32),
+            jnp.zeros((Sb, C3), jnp.float32),
+        ),
     )
-    h = jax.nn.relu(
-        jnp.dot(h, W3_ref[...], preferred_element_type=jnp.float32) + b3_ref[...]
-    ).reshape(Sb, Nb, -1)
-
-    @pl.when(nb == 0)
-    def _save_fallback():
-        f0_ref[...] = h[:, 0, :]
-
-    # arithmetic masking (Mosaic dislikes bool reshapes/broadcasts):
-    # unselected lanes get -1e30 added before the max
-    masked = h + ((self_f - 1.0) * 1e30)[:, :, None]
-    acc_ref[...] = jnp.maximum(acc_ref[...], jnp.max(masked, axis=1))
-
-    @pl.when(nb == n_blocks - 1)
-    def _finish():
-        emptyf = (count_ref[...] == 0).astype(jnp.float32)  # [Sb, 1]
-        out_ref[0] = emptyf * f0_ref[...] + (1.0 - emptyf) * acc_ref[...]
+    emptyf = (count == 0).astype(jnp.float32)
+    out_ref[0] = emptyf * f0 + (1.0 - emptyf) * acc
 
 
 @functools.partial(
@@ -174,31 +182,23 @@ def dense_msg_scale_pallas(
     C2 = folded.W2.shape[-1]
     C3 = folded.W3.shape[-1]
     assert S % sb == 0 and N % nb == 0, (S, sb, N, nb)
-    n_blocks = N // nb
 
-    grid = (B, S // sb, n_blocks)
+    grid = (B, S // sb)
     out = pl.pallas_call(
-        functools.partial(
-            _kernel, radius=radius, nsample=nsample, n_blocks=n_blocks
-        ),
+        functools.partial(_kernel, radius=radius, nsample=nsample, nb=nb),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, nb, 3), lambda b, s, n: (b, n, 0)),
-            pl.BlockSpec((1, sb, 3), lambda b, s, n: (b, s, 0)),
-            pl.BlockSpec((1, nb, C1), lambda b, s, n: (b, n, 0)),
-            pl.BlockSpec((1, sb, C1), lambda b, s, n: (b, s, 0)),
-            pl.BlockSpec((C1, C2), lambda b, s, n: (0, 0)),
-            pl.BlockSpec((C2,), lambda b, s, n: (0,)),
-            pl.BlockSpec((C2, C3), lambda b, s, n: (0, 0)),
-            pl.BlockSpec((C3,), lambda b, s, n: (0,)),
+            pl.BlockSpec((1, N, 3), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, sb, 3), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((1, N, C1), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, sb, C1), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((C1, C2), lambda b, s: (0, 0)),
+            pl.BlockSpec((C2,), lambda b, s: (0,)),
+            pl.BlockSpec((C2, C3), lambda b, s: (0, 0)),
+            pl.BlockSpec((C3,), lambda b, s: (0,)),
         ],
-        out_specs=pl.BlockSpec((1, sb, C3), lambda b, s, n: (b, s, 0)),
+        out_specs=pl.BlockSpec((1, sb, C3), lambda b, s: (b, s, 0)),
         out_shape=jax.ShapeDtypeStruct((B, S, C3), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((sb, C3), jnp.float32),
-            pltpu.VMEM((sb, 1), jnp.float32),
-            pltpu.VMEM((sb, C3), jnp.float32),
-        ],
         interpret=interpret,
     )(
         xyz, new_xyz, folded.u, folded.v,
