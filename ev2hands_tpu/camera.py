@@ -53,6 +53,17 @@ def opencv_global_to_camera_view(
     return jnp.einsum("ij,...j->...i", extrinsic, h)
 
 
+def p3d_to_p2d(
+    j3d: jax.Array,     # [..., N, 3]
+    scale: jax.Array,   # [..., 2]
+    translation: jax.Array,  # [..., 2]
+) -> jax.Array:
+    """Scaled orthographic projection after a fixed 180-degree x-axis flip
+    (the reference wrapper's ``P3dtoP2d``, ``model/model.py:36-49``)."""
+    flipped = jnp.stack([j3d[..., 0], -j3d[..., 1]], axis=-1)  # rot180 about x
+    return translation[..., None, :] + scale[..., None, :] * flipped
+
+
 # ---------------------------------------------------------------------------
 # Host-side: undistortion + calibration parsing (real-data ingest)
 # ---------------------------------------------------------------------------

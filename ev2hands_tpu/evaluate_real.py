@@ -70,7 +70,8 @@ def evaluate_recording(
     pck_rrr = np.zeros(num_steps + 1)
     mpjpe_vals: List[float] = []
     noncol_vals: List[float] = []
-    frames = 0
+    root_distances: List[float] = []  # min GT inter-hand joint distance (mm),
+    frames = 0                        # cf. evaluate_ev2hands_r.py:81
     key = jax.random.PRNGKey(0)
 
     buf_ev, buf_va, buf_gt = [], [], []
@@ -90,6 +91,10 @@ def evaluate_recording(
         )
         mpjpe_vals.extend(np.asarray(mpjpe(pred, gt)).tolist())
         noncol_vals.extend(np.asarray(noncol).tolist())
+        gt_np = np.asarray(gt)
+        root_distances.extend(
+            np.linalg.norm(gt_np[:, 0] - gt_np[:, 1], axis=-1).min(-1).tolist()
+        )
         frames += len(buf_ev)
         buf_ev.clear(); buf_va.clear(); buf_gt.clear()
 
@@ -108,6 +113,7 @@ def evaluate_recording(
         "frames": frames,
         "mpjpe_mm": float(np.mean(mpjpe_vals)) if mpjpe_vals else float("nan"),
         "non_collision_pct": float(np.mean(noncol_vals)) if noncol_vals else float("nan"),
+        "root_distance_mm": root_distances,
         "auc": {
             "absolute": get_auc(pck_abs / f),
             "relative": get_auc(pck_rel / f),

@@ -121,3 +121,14 @@ def test_device_memory_stats():
     stats = get_device_memory_usage()
     assert len(stats) == 8  # virtual CPU devices
     assert all("device" in s for s in stats)
+
+
+def test_p3d_to_p2d():
+    from ev2hands_tpu.camera import p3d_to_p2d
+
+    j3d = jnp.asarray([[[1.0, 2.0, 3.0]]])        # [1, 1, 3]
+    scale = jnp.asarray([[10.0, 20.0]])            # [1, 2]
+    trans = jnp.asarray([[100.0, 200.0]])
+    out = np.asarray(p3d_to_p2d(j3d, scale, trans))
+    # 180-deg x rotation flips y (and z, which is dropped)
+    np.testing.assert_allclose(out[0, 0], [100 + 10 * 1.0, 200 + 20 * -2.0])
