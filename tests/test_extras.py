@@ -132,3 +132,17 @@ def test_p3d_to_p2d():
     out = np.asarray(p3d_to_p2d(j3d, scale, trans))
     # 180-deg x rotation flips y (and z, which is dropped)
     np.testing.assert_allclose(out[0, 0], [100 + 10 * 1.0, 200 + 20 * -2.0])
+
+
+def test_evaluate_artifacts(tmp_path):
+    from ev2hands_tpu.evaluate import save_artifacts
+
+    report = {
+        "pck3d": {"relative": list(np.linspace(0, 1, 51))},
+        "auc": {"relative": 0.5},
+        "eval_score": 0.5, "mpjpe_mm": 12.3, "mpvpe_mm": 15.6, "frames": 10,
+    }
+    save_artifacts(report, str(tmp_path))
+    assert (tmp_path / "metrics.npy").exists()
+    assert (tmp_path / "metrics.json").exists()
+    assert (tmp_path / "pck3d_relative.png").exists()
