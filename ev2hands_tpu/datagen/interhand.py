@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import json
 import os
-from collections import defaultdict
 from typing import Dict, Optional
 
 import numpy as np

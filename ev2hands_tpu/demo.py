@@ -13,14 +13,14 @@ from __future__ import annotations
 import argparse
 import os
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ev2hands_tpu.config import DEFAULT_CONFIG, SEGMENTATION_COLOR
+from ev2hands_tpu.config import DEFAULT_CONFIG
 from ev2hands_tpu.events.erpc import erpc_real_batch_transform
 from ev2hands_tpu.events.real_streams import RealStream
 from ev2hands_tpu.model import TEHNet, apply_mano

@@ -11,7 +11,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -20,14 +20,9 @@ import optax
 
 from ev2hands_tpu.config import Config, DEFAULT_CONFIG
 from ev2hands_tpu.events.streams import Ev2HandSReader
-from ev2hands_tpu.metrics import get_auc, mpjpe, mpvpe
+from ev2hands_tpu.metrics import mpjpe, mpvpe
 from ev2hands_tpu.model import TEHNet, apply_mano
-from ev2hands_tpu.train import (
-    build_hands,
-    create_train_state,
-    evaluate as evaluate_pck,
-    make_eval_step,
-)
+from ev2hands_tpu.train import build_hands, create_train_state
 
 
 def load_checkpoint_into_state(path: str, state, net=None):

@@ -15,7 +15,6 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ev2hands_tpu.config import Config, DEFAULT_CONFIG

@@ -24,7 +24,7 @@ over the elements of valid samples; zero when no sample is valid.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ import dataclasses
 import io
 import os
 import pickle
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

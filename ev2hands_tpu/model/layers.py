@@ -32,7 +32,6 @@ from ev2hands_tpu.ops.pointnet import (
     group_all,
     index_points,
     query_ball_point,
-    sample_and_group,
     square_distance,
     three_nn_interpolate,
 )

@@ -12,7 +12,6 @@ import datetime
 import logging
 import os
 import sys
-from typing import Optional
 
 
 class RunLogger:

@@ -20,7 +20,6 @@ import time
 from typing import Callable, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 
 
 @contextlib.contextmanager
