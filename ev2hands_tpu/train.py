@@ -242,8 +242,29 @@ def train(cfg: Config = DEFAULT_CONFIG, synthetic_mano: bool = False,
     train_step = make_train_step(net, hand_params, ctx, cfg, optimizer)
     eval_step = make_eval_step(net, hand_params, cfg)
 
-    train_reader = Ev2HandSReader(f"{cfg.train.data_root}/train", cfg.model.n_points)
+    train_root = f"{cfg.train.data_root}/train"
     val_reader = Ev2HandSReader(f"{cfg.train.data_root}/val", cfg.model.n_points)
+
+    # prefer the native C++ batch assembler when built (csrc/); it holds the
+    # decoded event table once and fills batches with a pthread pool
+    train_batches = None
+    try:
+        from ev2hands_tpu.events.native_loader import (
+            NativeEv2HandSLoader,
+            native_available,
+        )
+
+        if native_available():
+            native = NativeEv2HandSLoader(
+                train_root, cfg.model.n_points, seed=cfg.train.seed
+            )
+            train_batches = native.batches(cfg.train.batch_size)
+            logger.info("using native C++ batch loader")
+    except Exception as e:  # pragma: no cover - fallback path
+        logger.info(f"native loader unavailable ({e}); using Python reader")
+    if train_batches is None:
+        train_reader = Ev2HandSReader(train_root, cfg.model.n_points)
+        train_batches = train_reader.batches(cfg.train.batch_size, shuffle=True)
 
     ckptr = NativeCheckpointer(logger.run_dir + "/ckpt")
     key = jax.random.PRNGKey(cfg.train.seed + 1)
@@ -252,7 +273,7 @@ def train(cfg: Config = DEFAULT_CONFIG, synthetic_mano: bool = False,
     loss_log: Dict[str, float] = {}
     st = glob_st = time.time()
 
-    batches = Prefetcher(train_reader.batches(cfg.train.batch_size, shuffle=True))
+    batches = Prefetcher(train_batches)
     for it, batch in enumerate(batches, start=start_it):
         if it >= max_iter:
             break
