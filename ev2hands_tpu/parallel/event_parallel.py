@@ -97,22 +97,22 @@ def event_sharded_dense_scale(
 ) -> jax.Array:
     """Dense grouping scale with the event (N) axis sharded over ``mesh``'s
     ``event`` axis. Numerically identical to the single-device dense scale."""
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
+    body = partial(_sharded_scale_body, radius=radius, nsample=nsample)
+    in_specs = (
+        P(None, EVENT_AXIS, None),  # xyz
+        P(None, EVENT_AXIS, None),  # u
+        P(),                         # new_xyz replicated
+        P(),                         # v replicated
+        P(), P(), P(), P(),          # weights replicated
+    )
+    if hasattr(jax, "shard_map"):  # jax >= 0.6 API (check_vma keyword)
+        fn = jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
+        )
+    else:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
 
-    fn = shard_map(
-        partial(_sharded_scale_body, radius=radius, nsample=nsample),
-        mesh=mesh,
-        in_specs=(
-            P(None, EVENT_AXIS, None),  # xyz
-            P(None, EVENT_AXIS, None),  # u
-            P(),                         # new_xyz replicated
-            P(),                         # v replicated
-            P(), P(), P(), P(),          # weights replicated
-        ),
-        out_specs=P(),
-        check_rep=False,
-    )
+        fn = shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=P(), check_rep=False
+        )
     return fn(xyz, u, new_xyz, v, W2, b2, W3, b3)
