@@ -35,15 +35,26 @@ inline void fill_window(const Loader& L, int64_t start, int64_t n_events,
                         int64_t* anno_out) { // [1]
   if (start > L.n_rows - n_events) start = L.n_rows - n_events;
   if (start < 0) start = 0;
+  // Tables shorter than one window wrap around instead of reading past the
+  // borrowed numpy buffer; the common (n_rows >= n_events) path stays a
+  // single contiguous branch-free copy.
+  int64_t last = start;
   const int64_t* r = L.rows + start * 6;
   for (int64_t i = 0; i < n_events; ++i, r += 6) {
+    int64_t idx = start + i;
+    if (idx >= L.n_rows) {
+      idx %= L.n_rows;
+      r = L.rows + idx * 6;
+      start = idx - i;  // keep start + i == idx for subsequent iterations
+    }
     ev_out[i * 4 + 0] = static_cast<float>(r[0]);
     ev_out[i * 4 + 1] = static_cast<float>(r[1]);
     ev_out[i * 4 + 2] = static_cast<float>(r[2]);
     ev_out[i * 4 + 3] = static_cast<float>(r[3]);
     label_out[i] = static_cast<int32_t>(r[5]);
+    last = idx;
   }
-  anno_out[0] = r[-6 + 4];  // annotation index of the window's last event
+  anno_out[0] = L.rows[last * 6 + 4];  // annotation index of the last event
 }
 
 void parallel_for(int n_threads, int64_t count,

@@ -148,6 +148,24 @@ class CameraConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DatagenConfig:
+    """Scene dressing for the synthetic generator.
+
+    The reference renders textured hands with forearm meshes
+    (``twohands.py:56-90``), per-frame randomized point lights and a
+    per-sequence random background image composited behind the hands
+    (``HandSimulator/utils.py:255-384``). ``realistic_scene`` enables the
+    TPU-native equivalents (Gouraud vertex colors, procedural forearms,
+    device-side point lights, procedural background tiles)."""
+
+    realistic_scene: bool = True
+    add_forearms: bool = True
+    n_lights: int = 5            # generate_train_lights builds 5 (utils.py:286-311)
+    ambient: float = 0.1         # pyrender scene ambient (utils.py:323)
+    background_cells: int = 8    # low-frequency noise grid for the background
+
+
+@dataclasses.dataclass(frozen=True)
 class Config:
     sensor: SensorConfig = SensorConfig()
     esim: EsimConfig = EsimConfig()
@@ -156,6 +174,7 @@ class Config:
     loss: LossConfig = LossConfig()
     train: TrainConfig = TrainConfig()
     camera: CameraConfig = CameraConfig()
+    datagen: DatagenConfig = DatagenConfig()
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -37,18 +37,124 @@ from ev2hands_tpu.ops.esim import (
 )
 
 
-def make_frame_simulator(hands: Dict[str, ManoParams], faces: np.ndarray, cfg: Config):
+# Forearm pixels carry this material id in the rasterizer. The reference's
+# segmentation pass leaves forearm meshes with trimesh's default (gray)
+# vertex colors (`texture_mesh=False`, twohands.py:84 + manotosmplx.py:270),
+# whose channel argmax is 0 — so forearm events are LABELED BACKGROUND while
+# still occluding hands and producing events. We reproduce that by mapping
+# this id to 0 in the emitted labels.
+FOREARM_MATERIAL = 3
+
+
+def scene_topology(faces: np.ndarray, cfg: Config):
+    """Static triangle topology for the realistic two-hand scene:
+    [left hand, left forearm, right hand, right forearm].  Forearm faces come
+    from :func:`forearm_mesh` (fixed segments/rings), whose vertex layout
+    matches :func:`forearm_vertices_jax`."""
+    from ev2hands_tpu.datagen.meshes import forearm_mesh
+
+    faces = np.asarray(faces, np.int32)
+    V = 778
+    fa_v, fa_f = forearm_mesh(np.zeros(3), np.array([1.0, 0, 0]))
+    nfa = len(fa_v)
+
+    all_f, all_m = [], []
+    offset = 0
+    for mat in (1, 2):  # left, right
+        all_f.append(faces + offset)
+        all_m.append(np.full(len(faces), mat, np.int32))
+        offset += V
+        if cfg.datagen.add_forearms:
+            all_f.append(fa_f + offset)
+            all_m.append(np.full(len(fa_f), FOREARM_MATERIAL, np.int32))
+            offset += nfa
+    return (
+        np.concatenate(all_f),
+        np.concatenate(all_m),
+        offset,   # total vertex count
+        nfa,
+    )
+
+
+def make_frame_simulator(
+    hands: Dict[str, ManoParams],
+    faces: np.ndarray,
+    cfg: Config,
+    vertex_colors: Optional[np.ndarray] = None,
+):
     """Jitted per-frame program: MANO params -> render -> log intensity ->
-    ESIM events (compact) + segmentation map."""
+    ESIM events (compact) + segmentation map.
+
+    With ``cfg.datagen.realistic_scene`` (the default): Gouraud-shaded
+    per-vertex colors, forearm meshes tracking the wrists, per-frame
+    randomized point lights, and a per-sequence random background — the
+    TPU-native equivalents of the reference's textured/lit/composited frames
+    (``HandSimulator/utils.py:255-384``, ``twohands.py:56-90``).
+    ``vertex_colors`` [V_total, 3] is sampled once per sequence (aug copies
+    differ); ``frame_fn`` takes ``(esim_state, params, t_ns, key,
+    background)``."""
+    from ev2hands_tpu.datagen.meshes import forearm_vertices_jax
+    from ev2hands_tpu.datagen.rasterizer import (
+        rasterize_scene,
+        sample_train_lights,
+    )
+
     W, H = cfg.sensor.width, cfg.sensor.height
     projection = jnp.asarray(
         cfg.camera.projection_matrix(W, H), jnp.float32
     )
     mask = jnp.asarray(bayer_mask(H, W))
     color = jnp.asarray(HAND_COLOR, jnp.float32)
+    realistic = cfg.datagen.realistic_scene
+
+    if realistic:
+        all_faces_np, materials_np, n_total, _ = scene_topology(faces, cfg)
+        all_faces = jnp.asarray(all_faces_np)
+        materials = jnp.asarray(materials_np)
+        if vertex_colors is None:
+            vertex_colors = np.tile(
+                np.asarray(HAND_COLOR, np.float32), (n_total, 1)
+            )
+        assert vertex_colors.shape == (n_total, 3), vertex_colors.shape
+        vcolors = jnp.asarray(vertex_colors, jnp.float32)
+        ambient = cfg.datagen.ambient
+
+        @jax.jit
+        def frame_fn(esim_state, params, t_ns, key, background):
+            verts = []
+            for side in ("left", "right"):
+                p = params[side]
+                out = mano_forward(
+                    hands[side], p["global_orient"], p["hand_pose"],
+                    p["betas"], p["transl"],
+                )
+                verts.append(out.vertices)
+                if cfg.datagen.add_forearms:
+                    j = out.joints
+                    # down-the-arm direction: wrist minus middle-finger MCP
+                    # (simplified from the reference's fixed-elbow targets,
+                    # manotosmplx.py:279-289)
+                    verts.append(forearm_vertices_jax(j[0], j[0] - j[9]))
+            raster = rasterize_scene(
+                jnp.concatenate(verts, 0), all_faces, materials, vcolors,
+                *sample_train_lights(key), projection, W, H, ambient,
+            )
+            rgb = jnp.where(
+                raster.class_id[..., None] > 0, raster.rgb, background
+            ) * 255.0
+            log_frame = log_intensity(rgb, mask)
+            esim_state, events = esim_step(
+                esim_state, log_frame, t_ns,
+                cfg.esim.positive_threshold, cfg.esim.negative_threshold,
+                cfg.esim.max_events_per_pixel,
+            )
+            return esim_state, events, raster.class_id
+
+        return frame_fn
 
     @jax.jit
-    def frame_fn(esim_state, params, t_ns):
+    def frame_fn(esim_state, params, t_ns, key=None, background=None):
+        del key, background  # plain mode: flat shade, constant gray bg
         outs = {}
         for side in ("left", "right"):
             p = params[side]
@@ -58,8 +164,6 @@ def make_frame_simulator(hands: Dict[str, ManoParams], faces: np.ndarray, cfg: C
         raster = render_two_hands(
             outs["left"], outs["right"], faces, projection, W, H
         )
-        # shaded hand color over a mid-gray background (the reference
-        # composites random backgrounds, ``HandSimulator/utils.py:320-350``)
         bg = 159.0 / 255.0
         shaded = raster.intensity[..., None] * color[None, None, :]
         rgb = jnp.where(raster.class_id[..., None] > 0, shaded, bg) * 255.0
@@ -86,6 +190,7 @@ def simulate_sequence(
     hands_data: Dict,
     cfg: Config = DEFAULT_CONFIG,
     n_pose_comps: Optional[int] = None,
+    seed: int = 0,
 ) -> Iterator[Dict]:
     """Run one interpolated sequence through the simulator.
 
@@ -93,15 +198,31 @@ def simulate_sequence(
     ``hand_type, pose (48 = 3 global + 45 aa), shape, trans``.
     Yields per-frame dicts: events [N, 4] (x, y, t_ns, p), labels [N],
     camera_hand_info (the anno-pickle entry).
-    """
+
+    Per-sequence appearance randomization (``seed`` varies across aug
+    copies): skin vertex colors and the composited background are fixed for
+    the sequence; point lights re-randomize per frame — matching the
+    reference renderer's granularity (``utils.py:317,349``)."""
+    from ev2hands_tpu.datagen.meshes import random_skin_vertex_colors
+    from ev2hands_tpu.datagen.rasterizer import random_background
     from ev2hands_tpu.mano.layer import create_mano_params
 
     n_comps = n_pose_comps or cfg.mano.n_pose_comps
     params = {s: create_mano_params(hands_data[s], n_comps) for s in ("left", "right")}
     faces = np.asarray(hands_data["left"].faces, np.int32)
-    frame_fn = make_frame_simulator(params, faces, cfg)
 
     W, H = cfg.sensor.width, cfg.sensor.height
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    if cfg.datagen.realistic_scene:
+        _, _, n_total, _ = scene_topology(faces, cfg)
+        vertex_colors = random_skin_vertex_colors(n_total, rng)
+        key, k_bg = jax.random.split(key)
+        background = random_background(k_bg, H, W, cfg.datagen.background_cells)
+    else:
+        vertex_colors, background = None, None
+    frame_fn = make_frame_simulator(params, faces, cfg, vertex_colors)
+
     state = esim_init(H, W)
     dt_ns = 1e9 / cfg.esim.simulator_fps
 
@@ -131,12 +252,18 @@ def simulate_sequence(
                 "trans": np.asarray(hand["trans"], np.float32),
             }
 
-        state, compact, class_id = frame_fn(state, frame_params, jnp.float32(fi * dt_ns))
+        state, compact, class_id = frame_fn(
+            state, frame_params, jnp.float32(fi * dt_ns),
+            jax.random.fold_in(key, fi), background,
+        )
         events = expand_compact_events(
             CompactEvents(*[jnp.asarray(x) for x in compact])
         )
         seg = np.asarray(class_id)
         labels = seg[events[:, 1].astype(int), events[:, 0].astype(int)] if len(events) else np.zeros(0)
+        # forearm pixels are labeled background, like the reference's
+        # segmentation pass (see FOREARM_MATERIAL)
+        labels = np.where(labels == FOREARM_MATERIAL, 0, labels)
         yield {
             "events": events.astype(np.float64),
             "event_labels": labels.astype(np.int64),
@@ -179,7 +306,9 @@ def generate(
     for count, frames in enumerate(sequences):
         if count % n_workers != worker_id:
             continue
-        for frame in simulate_sequence(frames, hands_data, cfg):
+        # per-sequence seed: aug copies of the same capture get different
+        # appearance draws (colors / background / lights)
+        for frame in simulate_sequence(frames, hands_data, cfg, seed=count):
             part_frames.append(frame)
             n_frames += 1
             if len(part_frames) >= frames_per_part:

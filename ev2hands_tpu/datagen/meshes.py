@@ -69,6 +69,41 @@ def forearm_mesh(
     return verts, np.asarray(faces, np.int32)
 
 
+def forearm_vertices_jax(
+    wrist,                      # [3] jax array, wrist joint (meters)
+    direction,                  # [3] jax array toward the elbow (unnormalized)
+    length: float = 0.25,
+    radius_wrist: float = 0.035,
+    radius_elbow: float = 0.045,
+    segments: int = 16,
+    rings: int = 4,
+):
+    """JAX twin of :func:`forearm_mesh`'s vertex generation (same vertex
+    layout — ring-major, cap vertex last — so :func:`forearm_mesh`'s faces
+    index it directly).  Runs inside the jitted frame simulator so forearm
+    geometry tracks the MANO joints without a host round-trip."""
+    import jax.numpy as jnp
+
+    d = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-9)
+    a = jnp.where(
+        jnp.abs(d[0]) < 0.9,
+        jnp.asarray([1.0, 0.0, 0.0]),
+        jnp.asarray([0.0, 1.0, 0.0]),
+    )
+    u = jnp.cross(d, a)
+    u = u / jnp.maximum(jnp.linalg.norm(u), 1e-9)
+    v = jnp.cross(d, u)
+
+    fracs = jnp.linspace(0.0, 1.0, rings)                        # [R]
+    radii = radius_wrist + (radius_elbow - radius_wrist) * fracs  # [R]
+    centers = wrist[None, :] + d[None, :] * (length * fracs)[:, None]  # [R, 3]
+    ang = 2.0 * jnp.pi * jnp.arange(segments) / segments          # [S]
+    ring = jnp.cos(ang)[:, None] * u[None, :] + jnp.sin(ang)[:, None] * v[None, :]
+    verts = centers[:, None, :] + radii[:, None, None] * ring[None, :, :]
+    cap = wrist + d * length
+    return jnp.concatenate([verts.reshape(-1, 3), cap[None, :]], axis=0)
+
+
 def estimate_forearm_direction(joints21: np.ndarray) -> np.ndarray:
     """Down-the-arm direction from the 21-joint layout: away from the palm
     (wrist minus the middle-finger MCP)."""

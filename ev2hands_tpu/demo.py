@@ -169,13 +169,18 @@ def run_demo(
         nonlocal n_frames
         if not buf_ev:
             return
-        ev = jnp.asarray(np.stack(buf_ev))
-        va = jnp.asarray(np.stack(buf_va))
+        # pad a partial tail batch to the static jit shape (repeat the last
+        # window) and render only the real entries — the recording's final
+        # windows are not dropped
+        k = len(buf_ev)
+        pad = batch_size - k
+        ev = jnp.asarray(np.stack(buf_ev + [buf_ev[-1]] * pad))
+        va = jnp.asarray(np.stack(buf_va + [buf_va[-1]] * pad))
         t0 = time.perf_counter()
         out = step(state, ev, va, jax.random.fold_in(key, n_frames))
         out = jax.device_get(out)
-        timings.append((time.perf_counter() - t0) / len(buf_ev))
-        for i in range(len(buf_ev)):
+        timings.append((time.perf_counter() - t0) / k)
+        for i in range(k):
             events_img = render_event_frame(out["xy"][i], out["polarity"][i], W, H)
             seg_img = render_segmentation(out["xy"][i], out["seg"][i], W, H)
             mesh_img = render_mesh_frame(
@@ -191,9 +196,9 @@ def run_demo(
         buf_va.append(w["event_valid"])
         if len(buf_ev) == batch_size:
             flush()
-        if max_windows and n_frames >= max_windows:
+        if max_windows and n_frames + len(buf_ev) >= max_windows:
             break
-    flush() if len(buf_ev) == batch_size else None
+    flush()  # render the final partial batch too
     writer.release()
     if timings[1:]:
         print(f"inference: {1.0 / np.mean(timings[1:]):.1f} windows/s "

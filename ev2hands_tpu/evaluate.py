@@ -84,9 +84,14 @@ def make_full_eval_step(net: TEHNet, hands, cfg: Config):
 
 def evaluate_dataset(
     state, net: TEHNet, hands, reader: Ev2HandSReader, cfg: Config,
-    max_frames: int = 8192,
+    max_frames: int = 8192, full_split: bool = False, stride: int = 1,
 ) -> Dict:
-    """Full report: PCK/AUC + MPJPE + MPVPE (mm)."""
+    """Full report: PCK/AUC + MPJPE + MPVPE (mm).
+
+    ``full_split=True`` iterates every window start deterministically
+    (``sequential_batches``, matching the reference's per-event window
+    indexing, ``dataset/erpc.py:169``) instead of the strided smoke pass;
+    the final partial batch is padded + masked, not dropped."""
     from ev2hands_tpu.metrics import PckAccumulator
 
     step = make_full_eval_step(net, hands, cfg)
@@ -94,14 +99,22 @@ def evaluate_dataset(
     mpjpe_sum = mpvpe_sum = 0.0
     key = jax.random.PRNGKey(0)
     bs = cfg.train.eval_batch_size
-    for i, batch in enumerate(
-        reader.batches(bs, shuffle=False, max_batches=max(1, max_frames // bs))
-    ):
+
+    if full_split:
+        batches = reader.sequential_batches(bs, stride=stride)
+    else:
+        batches = (
+            (b, bs) for b in reader.batches(
+                bs, shuffle=False, max_batches=max(1, max_frames // bs)
+            )
+        )
+    for i, (batch, n_real) in enumerate(batches):
         pj, gj, pv, gv = step(state, batch, jax.random.fold_in(key, i))
+        pj, gj, pv, gv = pj[:n_real], gj[:n_real], pv[:n_real], gv[:n_real]
         acc.update(pj, gj)
         mpjpe_sum += float(jnp.sum(mpjpe(pj, gj)))
         mpvpe_sum += float(jnp.sum(mpvpe(pv, gv)))
-        if acc.frames >= max_frames:
+        if not full_split and acc.frames >= max_frames:
             break
     metrics, score = acc.result()
     n = max(acc.frames, 1)
@@ -146,11 +159,17 @@ def main():
     ap.add_argument("--checkpoint_path", required=True)
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--max_frames", type=int, default=8192)
+    ap.add_argument("--full_split", action="store_true",
+                    help="evaluate EVERY window start (reference coverage)")
+    ap.add_argument("--stride", type=int, default=1,
+                    help="window-start stride with --full_split")
     ap.add_argument("--out_dir", default="outputs")
     ap.add_argument("--synthetic_mano", action="store_true")
     args = ap.parse_args()
 
     cfg = DEFAULT_CONFIG
+    cfg = cfg.replace(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "eval_batch_size": args.batch_size}))
     hands_obj = build_hands(cfg, synthetic=args.synthetic_mano)
     hands = {s: h.params for s, h in hands_obj.items()}
     net = TEHNet(cfg=cfg.model)
@@ -160,7 +179,8 @@ def main():
     state = load_checkpoint_into_state(args.checkpoint_path, state)
 
     reader = Ev2HandSReader(f"{args.data_root}/{args.split}", cfg.model.n_points)
-    report = evaluate_dataset(state, net, hands, reader, cfg, args.max_frames)
+    report = evaluate_dataset(state, net, hands, reader, cfg, args.max_frames,
+                              full_split=args.full_split, stride=args.stride)
     save_artifacts(report, args.out_dir)
     print(json.dumps({k: report[k] for k in ("auc", "eval_score", "mpjpe_mm", "mpvpe_mm", "frames")}))
 

@@ -80,10 +80,16 @@ def evaluate_recording(
         nonlocal frames, pck_abs, pck_rel, pck_rrr
         if not buf_ev:
             return
-        ev = jnp.asarray(np.stack(buf_ev))
-        va = jnp.asarray(np.stack(buf_va))
-        gt = jnp.asarray(np.stack(buf_gt)) * 1000.0  # m -> mm
+        # pad a partial tail batch to the static jit shape by repeating the
+        # last window, then score only the real k entries — no window of the
+        # recording is dropped
+        k = len(buf_ev)
+        pad = batch_size - k
+        ev = jnp.asarray(np.stack(buf_ev + [buf_ev[-1]] * pad))
+        va = jnp.asarray(np.stack(buf_va + [buf_va[-1]] * pad))
+        gt = jnp.asarray(np.stack(buf_gt + [buf_gt[-1]] * pad)) * 1000.0  # m -> mm
         pred, noncol = eval_step(state, ev, va, jax.random.fold_in(key, frames))
+        pred, gt, noncol = pred[:k], gt[:k], noncol[:k]
         pck_abs += np.asarray(jnp.sum(absolute_pck3d(pred, gt, num_steps, 100.0), 0))
         pck_rel += np.asarray(jnp.sum(relative_pck3d(pred, gt, num_steps, 100.0), 0))
         pck_rrr += np.asarray(
@@ -95,7 +101,7 @@ def evaluate_recording(
         root_distances.extend(
             np.linalg.norm(gt_np[:, 0] - gt_np[:, 1], axis=-1).min(-1).tolist()
         )
-        frames += len(buf_ev)
+        frames += k
         buf_ev.clear(); buf_va.clear(); buf_gt.clear()
 
     for w in stream.sliding_windows():
@@ -104,9 +110,9 @@ def evaluate_recording(
         buf_gt.append(w["j3d"])
         if len(buf_ev) == batch_size:
             flush()
-        if max_windows and frames >= max_windows:
+        if max_windows and frames + len(buf_ev) >= max_windows:
             break
-    # drop the remainder (keeps the jitted batch shape static)
+    flush()  # score the final partial batch too
 
     f = max(frames, 1)
     return {

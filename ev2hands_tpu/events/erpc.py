@@ -121,14 +121,16 @@ def append_noise(
     """Append ``n_noise`` uniform noise rows labeled class 3
     (``augmentations.py:40-54``): random pixel, t of a random existing row
     plus U[0,1)*1e3, polarity counts randint(0,8) with a +1 on one side."""
-    kx, ky, kt, kr, kp, kn = jax.random.split(key, 6)
+    kx, ky, kt, kr, kp, kn_pe, kn_ne = jax.random.split(key, 7)
     xs = jax.random.randint(kx, (n_noise,), 0, width).astype(jnp.float32)
     ys = jax.random.randint(ky, (n_noise,), 0, height).astype(jnp.float32)
     src = jax.random.randint(kr, (n_noise,), 0, jnp.maximum(n_valid, 1))
     ts = feats[src, 2] + jax.random.uniform(kt, (n_noise,)) * 1e3
     ps = jax.random.bernoulli(kp, 0.5, (n_noise,))
-    n_pe = jax.random.randint(kn, (n_noise,), 0, 8) + ps.astype(jnp.int32)
-    n_ne = jax.random.randint(kn, (n_noise,), 0, 8) + (~ps).astype(jnp.int32)
+    # independent draws for the two polarity counts, like the reference's two
+    # separate np.random.randint calls (augmentations.py:51-52)
+    n_pe = jax.random.randint(kn_pe, (n_noise,), 0, 8) + ps.astype(jnp.int32)
+    n_ne = jax.random.randint(kn_ne, (n_noise,), 0, 8) + (~ps).astype(jnp.int32)
     noise = jnp.stack(
         [xs, ys, ts, n_pe.astype(jnp.float32), n_ne.astype(jnp.float32)], axis=-1
     )
@@ -233,6 +235,59 @@ def erpc_batch_transform(
         e, l, k, width=width, height=height, n_out=n_out, augment=augment
     )
     return jax.vmap(fn)(events, labels, keys)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "n_out", "augment"))
+def erpc_preraster_window_transform(
+    feats: jax.Array,    # [P, 5] pre-rasterized ERPC rows (x, y, t_ms, #pos, #neg)
+    labels: jax.Array,   # [P] int32 per-row class labels
+    n_valid: jax.Array,  # scalar: number of real rows (rest is padding)
+    key: jax.Array,
+    width: int = 346,
+    height: int = 260,
+    n_out: int = 2048,
+    augment: bool = False,
+) -> ErpcWindow:
+    """Transform for datasets already stored in the reference's pre-rasterized
+    ERPC format (``HandSimulator/main_erpc.py:84-109``): the rasterization
+    stage is skipped; noise augmentation, fixed-size resample, and
+    normalization run exactly as in :func:`erpc_window_transform`."""
+    k_gate, k_noise, k_sample = jax.random.split(key, 3)
+    P = feats.shape[0]
+    n_noise = n_out // 32
+    if augment:
+        active = jax.random.bernoulli(k_gate, 0.5)
+        feats, labels, noise_count = append_noise(
+            feats, labels, n_valid, k_noise, width, height, n_noise, active
+        )
+    else:
+        feats = jnp.concatenate([feats, jnp.zeros((n_noise, 5), feats.dtype)], 0)
+        labels = jnp.concatenate([labels, jnp.zeros((n_noise,), jnp.int32)], 0)
+        noise_count = jnp.zeros((), jnp.int32)
+    sampled, sampled_labels = sample_fixed(
+        feats, labels, n_valid, P, noise_count, k_sample, n_out
+    )
+    return ErpcWindow(
+        events=normalize_erpc(sampled, width, height), labels=sampled_labels
+    )
+
+
+def erpc_preraster_batch_transform(
+    feats: jax.Array,    # [B, P, 5]
+    labels: jax.Array,   # [B, P]
+    n_valid: jax.Array,  # [B]
+    key: jax.Array,
+    width: int = 346,
+    height: int = 260,
+    n_out: int = 2048,
+    augment: bool = False,
+) -> ErpcWindow:
+    """Batched pre-rasterized transform (one key per frame)."""
+    keys = jax.random.split(key, feats.shape[0])
+    fn = lambda f, l, n, k: erpc_preraster_window_transform(
+        f, l, n, k, width=width, height=height, n_out=n_out, augment=augment
+    )
+    return jax.vmap(fn)(feats, labels, n_valid, keys)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "n_out", "augment"))

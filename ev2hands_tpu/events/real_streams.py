@@ -111,14 +111,20 @@ class RealStream:
             fi = chunk[:, 4].astype(np.int64)
             values, counts = np.unique(fi, return_counts=True)
             frame_index = int(values[np.argmax(counts)])
+            # the reference's sequential evaluator keeps the FIRST unique
+            # frame's joints as GT (`joints_3d[:1]` over the sorted unique
+            # list, evaluation_stream.py:150,184) while reporting the
+            # majority frame as `frame_index` (:222-223); expose both
+            first_frame_index = int(values[0])
         else:
-            frame_index = -1
+            frame_index = first_frame_index = -1
 
         return {
             "events": out,
             "event_valid": valid,
             "n_events": np.int32(n),
             "frame_index": np.int64(frame_index),
+            "first_frame_index": np.int64(first_frame_index),
             "end": int(end),
         }
 
@@ -147,7 +153,9 @@ class RealStream:
             if w is None:
                 return
             try:
-                w["j3d"] = self.joints_3d(int(w["frame_index"]))
+                # GT = first unique frame, matching the reference R-evaluator
+                # (evaluation_stream.py:184); `frame_index` stays majority
+                w["j3d"] = self.joints_3d(int(w["first_frame_index"]))
             except IndexError:
                 return
             yield w

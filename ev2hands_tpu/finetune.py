@@ -15,6 +15,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ev2hands_tpu.config import Config, DEFAULT_CONFIG
@@ -75,6 +76,57 @@ def make_finetune_step(net, hands, ctx, cfg: Config, optimizer, projection_matri
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_finetune_eval_step(net, hands, cfg: Config):
+    """Jitted validation forward for real windows: -> pred j3d in mm."""
+    sensor = cfg.sensor
+
+    def fn(state: TrainState, events, event_valid, key):
+        erpc = erpc_real_batch_transform(
+            events, event_valid, key,
+            width=sensor.width, height=sensor.height, n_out=cfg.model.n_points,
+        )
+        outputs = net.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            erpc.events, train=False,
+        )
+        outputs = apply_mano(hands, outputs)
+        pred = jnp.stack([outputs["left"]["j3d"], outputs["right"]["j3d"]], axis=1)
+        return pred * 1000.0
+
+    return jax.jit(fn)
+
+
+def evaluate_finetune(
+    eval_step, state: TrainState, reader, cfg: Config, max_frames: int = 8192
+):
+    """PCK/AUC on an Ev2HandRReader — the real-data branch of the reference's
+    ``evaluate_net`` (``evaluate.py:262-276``): GT joints come straight from
+    the batch (meters -> mm), PCK 0-50 mm over 51 steps, score = relative
+    AUC."""
+    import numpy as np
+
+    from ev2hands_tpu.metrics import PckAccumulator
+
+    acc = PckAccumulator(num_steps=50, dist_max_mm=50.0)
+    key = jax.random.PRNGKey(0)
+    bs = cfg.train.eval_batch_size
+    for i, batch in enumerate(
+        reader.batches(bs, max_batches=max(1, max_frames // bs))
+    ):
+        pred = eval_step(
+            state, jnp.asarray(batch["events"]), jnp.asarray(batch["event_valid"]),
+            jax.random.fold_in(key, i),
+        )
+        gt = np.stack(
+            [np.asarray(batch["left"]["j3d"]), np.asarray(batch["right"]["j3d"])],
+            axis=1,
+        ) * 1000.0
+        acc.update(pred, jnp.asarray(gt))
+        if acc.frames >= max_frames:
+            break
+    return acc.result()
+
+
 def finetune(
     cfg: Config = DEFAULT_CONFIG,
     data_root: str = "",
@@ -82,6 +134,8 @@ def finetune(
     max_iter: int = 15_000,
     save_iter: int = 5_000,
     synthetic_mano: bool = False,
+    val_data_root: str = "",
+    max_eval_iters: int = 8192,
 ) -> TrainState:
     from ev2hands_tpu.checkpoint import NativeCheckpointer
 
@@ -105,10 +159,16 @@ def finetune(
 
     projection = cfg.camera.projection_matrix(cfg.sensor.width, cfg.sensor.height)
     step = make_finetune_step(net, hands, ctx, cfg, optimizer, projection)
+    eval_step = make_finetune_eval_step(net, hands, cfg)
 
     reader = Ev2HandRReader(data_root, seed=cfg.train.seed)
+    # reference validates on REAL_TEST_DATA_PATH (finetune.py:43); without a
+    # separate validation dir we fall back to the training recordings
+    val_reader = Ev2HandRReader(val_data_root or data_root,
+                                seed=cfg.train.seed + 100)
     ckptr = NativeCheckpointer(logger.run_dir + "/ckpt")
     key = jax.random.PRNGKey(cfg.train.seed + 2)
+    max_eval_score = -float("inf")
     loss_log: Dict[str, float] = {}
     st = time.time()
 
@@ -131,12 +191,22 @@ def finetune(
             loss_log, st = {}, time.time()
 
         if (it + 1) % save_iter == 0:
-            ckptr.save(it + 1, {
-                "params": jax.device_get(state.params),
-                "batch_stats": jax.device_get(state.batch_stats),
-                "step": it + 1,
-            })
-            logger.info(f"saved checkpoint at {it + 1}")
+            # eval/save-on-best, mirroring reference finetune.py:104-121
+            metrics, score = evaluate_finetune(
+                eval_step, state, val_reader, cfg, max_eval_iters
+            )
+            logger.info(f"eval@{it + 1}: score={score} auc={metrics['auc']}")
+            logger.scalar("relative_auc", score, it + 1)
+            if score > max_eval_score:
+                max_eval_score = score
+                ckptr.save(it + 1, {
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                    "opt_state": jax.device_get(state.opt_state),
+                    "step": np.int64(it + 1),
+                    "max_eval_score": float(max_eval_score),
+                })
+                logger.info(f"saved best checkpoint at {it + 1}")
 
     return state
 
@@ -144,6 +214,8 @@ def finetune(
 def main():
     ap = argparse.ArgumentParser(description="Finetune TEHNet on Ev2Hands-R")
     ap.add_argument("--data_root", required=True)
+    ap.add_argument("--val_data_root", default="",
+                    help="validation recordings dir (defaults to data_root)")
     ap.add_argument("--checkpoint_path", default="")
     ap.add_argument("--max_iter", type=int, default=15_000)
     ap.add_argument("--save_iter", type=int, default=5_000)
@@ -157,7 +229,8 @@ def main():
         **{**cfg.train.__dict__, "batch_size": args.batch_size,
            "data_parallel": args.data_parallel}))
     finetune(cfg, args.data_root, args.checkpoint_path,
-             args.max_iter, args.save_iter, args.synthetic_mano)
+             args.max_iter, args.save_iter, args.synthetic_mano,
+             val_data_root=args.val_data_root)
 
 
 if __name__ == "__main__":

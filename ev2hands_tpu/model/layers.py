@@ -211,11 +211,17 @@ def attention_block(key: jax.Array, value: jax.Array, query: jax.Array) -> jax.A
     value [B, N, C]   — fused per-event features
     query [B, N, C]   — per-hand query projection of the features
 
-    sim = softmax_over_classes(key^T @ query / sqrt(KC)) : [B, KC, C]
-    out[b, n, k] = sum_c sim[b, k, c] * value[b, n, c]   : [B, N, KC]
+    sim = softmax_over_classes(key^T @ query / sqrt(C)) : [B, KC, C]
+    out[b, n, k] = sum_c sim[b, k, c] * value[b, n, c]  : [B, N, KC]
+
+    Scale quirk: the reference computes ``N, KC = key.shape[:2]`` and then
+    immediately shadows both with ``N, KC = value.shape[:2]``
+    (``TEHNet.py:14-22``), so the ``KC ** -.5`` applied to ``sim_map`` is the
+    VALUE channel count (256), not the class count (4).  Released ``.pth``
+    checkpoints were trained with the 256**-0.5 scale; we reproduce it.
     """
-    kc = key.shape[-1]
-    sim = jnp.einsum("bnk,bnc->bkc", key, query) * (kc**-0.5)
+    c = value.shape[-1]
+    sim = jnp.einsum("bnk,bnc->bkc", key, query) * (c**-0.5)
     sim = jax.nn.softmax(sim, axis=1)  # over the class axis, like the reference
     return jnp.einsum("bkc,bnc->bnk", sim, value)
 

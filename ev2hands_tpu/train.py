@@ -220,14 +220,19 @@ def train(cfg: Config = DEFAULT_CONFIG, synthetic_mano: bool = False,
         prev = NativeCheckpointer(resume_dir)
         last = prev.latest_step()
         if last is not None:
+            # opt_state template comes from the freshly-initialized optimizer
+            # tree so Adam's moments resume exactly (the reference persists
+            # `optimize_state` too, train.py:117-123).
             restored = prev.restore(last, {
                 "params": jax.device_get(state.params),
                 "batch_stats": jax.device_get(state.batch_stats),
+                "opt_state": jax.device_get(state.opt_state),
                 "step": 0,
                 "max_eval_score": 0.0,
             })
             state = state._replace(
                 params=restored["params"], batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"],
                 step=jnp.asarray(int(restored["step"]), jnp.int32),
             )
             start_it = int(restored["step"])
@@ -305,6 +310,7 @@ def train(cfg: Config = DEFAULT_CONFIG, synthetic_mano: bool = False,
                 ckptr.save(it + 1, {
                     "params": jax.device_get(state.params),
                     "batch_stats": jax.device_get(state.batch_stats),
+                    "opt_state": jax.device_get(state.opt_state),
                     "step": np.int64(it + 1),
                     "max_eval_score": float(max_eval_score),
                 })

@@ -85,6 +85,60 @@ def test_project_vertices_center():
     assert float(z[0]) == 2.0
 
 
+def test_forearm_vertices_jax_matches_numpy(rng):
+    from ev2hands_tpu.datagen.meshes import forearm_mesh, forearm_vertices_jax
+
+    wrist = rng.randn(3).astype(np.float32) * 0.1
+    direction = rng.randn(3).astype(np.float32)
+    v_np, _ = forearm_mesh(wrist.astype(np.float64), direction.astype(np.float64))
+    v_jax = np.asarray(forearm_vertices_jax(jnp.asarray(wrist), jnp.asarray(direction)))
+    np.testing.assert_allclose(v_jax, v_np, atol=1e-5)
+
+
+def test_rasterize_scene_gouraud_and_lights(rng):
+    from ev2hands_tpu.datagen.rasterizer import (
+        rasterize_scene,
+        sample_train_lights,
+    )
+
+    cfg = small_cfg()
+    W, H = cfg.sensor.width, cfg.sensor.height
+    verts = jnp.asarray([[-0.1, -0.1, -1.0], [0.1, -0.1, -1.0], [0.0, 0.15, -1.0]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    mats = jnp.asarray([1], jnp.int32)
+    # red -> green -> blue corners: the interpolated color must vary smoothly
+    colors = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    lp, li = sample_train_lights(jax.random.PRNGKey(0))
+    assert lp.shape == (5, 3) and li.shape == (5,)
+    assert (np.asarray(li) >= 1).all() and (np.asarray(li) <= 4).all()
+
+    out = rasterize_scene(verts, faces, mats, colors, lp, li, _proj(cfg), W, H)
+    rgb = np.asarray(out.rgb)
+    cls = np.asarray(out.class_id)
+    assert cls[H // 2, W // 2] == 1
+    covered = rgb[cls == 1]
+    assert covered.shape[0] > 4
+    # Gouraud: covered pixels are not all the same color
+    assert covered.std(axis=0).max() > 1e-3
+    # different lights -> different shading
+    lp2, li2 = sample_train_lights(jax.random.PRNGKey(1))
+    out2 = rasterize_scene(verts, faces, mats, colors, lp2, li2, _proj(cfg), W, H)
+    assert not np.allclose(np.asarray(out2.rgb), rgb)
+
+
+def test_random_background_smooth_and_seeded():
+    from ev2hands_tpu.datagen.rasterizer import random_background
+
+    bg0 = np.asarray(random_background(jax.random.PRNGKey(0), 48, 64))
+    bg1 = np.asarray(random_background(jax.random.PRNGKey(1), 48, 64))
+    assert bg0.shape == (48, 64, 3)
+    assert (bg0 >= 0).all() and (bg0 <= 1).all()
+    assert not np.allclose(bg0, bg1)
+    np.testing.assert_array_equal(
+        bg0, np.asarray(random_background(jax.random.PRNGKey(0), 48, 64))
+    )
+
+
 # ---------------------------------------------------------------------------
 # interpolation
 # ---------------------------------------------------------------------------
@@ -174,29 +228,30 @@ def test_camera_transform_preserves_geometry(mano_models, mano_hands, rng):
 # end-to-end: generate -> stitch -> read -> device transform
 # ---------------------------------------------------------------------------
 
+def make_frames(n=8):
+    """A short moving two-hand sequence in front of the camera."""
+    frames = []
+    for i in range(n):
+        hands = []
+        for side, x0 in (("left", -0.06), ("right", 0.06)):
+            pose = np.zeros(48, np.float32)
+            pose[:3] = [0, 0.2 * i / n, 0]
+            hands.append({
+                "hand_type": side,
+                "pose": pose,
+                "shape": np.zeros(10, np.float32),
+                "trans": np.asarray([x0 + 0.01 * i, 0, -0.45], np.float32),
+            })
+        frames.append(hands)
+    return frames
+
+
 def test_generate_stitch_read_roundtrip(mano_models, tmp_path, rng):
     from ev2hands_tpu.datagen.generate import generate
     from ev2hands_tpu.datagen.stitch import stitch
     from ev2hands_tpu.events.streams import Ev2HandSReader
 
     cfg = small_cfg()
-
-    # a short moving two-hand sequence in front of the camera
-    def make_frames(n=8):
-        frames = []
-        for i in range(n):
-            hands = []
-            for side, x0 in (("left", -0.06), ("right", 0.06)):
-                pose = np.zeros(48, np.float32)
-                pose[:3] = [0, 0.2 * i / n, 0]
-                hands.append({
-                    "hand_type": side,
-                    "pose": pose,
-                    "shape": np.zeros(10, np.float32),
-                    "trans": np.asarray([x0 + 0.01 * i, 0, -0.45], np.float32),
-                })
-            frames.append(hands)
-        return frames
 
     parts = generate(
         iter([make_frames()]), mano_models, str(tmp_path / "parts"),
@@ -233,3 +288,74 @@ def test_generate_stitch_read_roundtrip(mano_models, tmp_path, rng):
     assert np.isfinite(np.asarray(out.events)).all()
     # hand labels present among sampled events
     assert np.asarray(out.labels).max() >= 1
+
+
+def test_realistic_scene_forearm_events(mano_models):
+    """The realistic scene renders forearm pixels, forearm motion produces
+    events, and their emitted label is background (0) like the reference's
+    segmentation pass (twohands.py:84 leaves forearms untextured)."""
+    from ev2hands_tpu.datagen.generate import (
+        FOREARM_MATERIAL,
+        simulate_sequence,
+        scene_topology,
+        make_frame_simulator,
+    )
+    from ev2hands_tpu.mano.layer import create_mano_params
+
+    cfg = small_cfg()
+    assert cfg.datagen.realistic_scene
+
+    # direct frame check: forearm material present in the rendered class map
+    params = {s: create_mano_params(mano_models[s], cfg.mano.n_pose_comps)
+              for s in ("left", "right")}
+    faces = np.asarray(mano_models["left"].faces, np.int32)
+    _, _, n_total, _ = scene_topology(faces, cfg)
+    frame_fn = make_frame_simulator(params, faces, cfg)
+
+    from ev2hands_tpu.ops.esim import esim_init
+    from ev2hands_tpu.datagen.rasterizer import random_background
+
+    state = esim_init(cfg.sensor.height, cfg.sensor.width)
+    bg = random_background(jax.random.PRNGKey(3), cfg.sensor.height, cfg.sensor.width)
+    fp = {}
+    for side, x0 in (("left", -0.06), ("right", 0.06)):
+        fp[side] = {
+            "global_orient": jnp.zeros(3),
+            "hand_pose": jnp.zeros(cfg.mano.n_pose_comps),
+            "betas": jnp.zeros(10),
+            "transl": jnp.asarray([x0, 0.0, -0.45]),
+        }
+    _, _, class_id = frame_fn(state, fp, jnp.float32(0.0), jax.random.PRNGKey(0), bg)
+    seg = np.asarray(class_id)
+    assert (seg == FOREARM_MATERIAL).sum() > 0, "no forearm pixels rendered"
+    assert (seg == 1).sum() > 0 and (seg == 2).sum() > 0
+
+    # sequence check: events arise on forearm pixels, labeled 0
+    frames_list = list(simulate_sequence(make_frames(4), mano_models, cfg, seed=0))
+    # re-render each frame's class map is overkill; instead assert labels only
+    # use {0,1,2} (forearm id folded into background) and events exist
+    all_labels = np.concatenate([f["event_labels"] for f in frames_list])
+    assert len(all_labels) > 0
+    assert set(np.unique(all_labels)) <= {0, 1, 2}
+    # moving forearms + textured background => background-labeled events exist
+    assert (all_labels == 0).sum() > 0
+
+
+def test_aug_seeds_change_event_distribution(mano_models):
+    """Two aug copies of the same sequence (different seeds) must differ in
+    appearance draws and therefore event distribution — the role of the
+    reference's random textures/lights/backgrounds (utils.py:255-384)."""
+    from ev2hands_tpu.datagen.generate import simulate_sequence
+
+    cfg = small_cfg()
+    f0 = list(simulate_sequence(make_frames(3), mano_models, cfg, seed=0))
+    f1 = list(simulate_sequence(make_frames(3), mano_models, cfg, seed=1))
+    n0 = sum(len(f["events"]) for f in f0)
+    n1 = sum(len(f["events"]) for f in f1)
+    assert n0 > 0 and n1 > 0
+    same = n0 == n1 and all(
+        a["events"].shape == b["events"].shape
+        and np.allclose(a["events"], b["events"])
+        for a, b in zip(f0, f1)
+    )
+    assert not same, "different seeds produced identical event streams"

@@ -92,6 +92,13 @@ def test_param_count_matches_reference_architecture(small_net):
 
 
 def test_attention_block_semantics(rng):
+    """Oracle executes the reference's bmm chain *including* its variable
+    shadowing: ``N, KC = key.shape[:2]`` is immediately overwritten by
+    ``N, KC = value.shape[:2]`` (TEHNet.py:14-22), so the softmax scale is
+    the value channel count C, not the class count KC.  Moderate-magnitude
+    inputs keep the softmax far from saturation so a wrong scale fails."""
+    import torch
+
     B, N, KC, C = 2, 16, 4, 8
     key = jnp.asarray(rng.randn(B, N, KC), jnp.float32)
     value = jnp.asarray(rng.randn(B, N, C), jnp.float32)
@@ -99,15 +106,22 @@ def test_attention_block_semantics(rng):
     out = np.asarray(attention_block(key, value, query))
     assert out.shape == (B, N, KC)
 
-    # oracle in torch layout: sim=softmax(K V^T? ...) as bmm chain
-    k = np.asarray(key).transpose(0, 2, 1)      # [B, KC, N]
-    q = np.asarray(query)                        # [B, N, C]
-    v = np.asarray(value).transpose(0, 2, 1)     # [B, C, N]
-    sim = np.einsum("bkn,bnc->bkc", k, q) * (KC**-0.5)
-    sim = np.exp(sim - sim.max(1, keepdims=True))
-    sim = sim / sim.sum(1, keepdims=True)
-    ctx = np.einsum("bkc,bcn->bkn", sim, v).transpose(0, 2, 1)
-    np.testing.assert_allclose(out, ctx, atol=1e-4)
+    # torch oracle in the reference's channels-first layout (TEHNet.py:13-27)
+    k = torch.from_numpy(np.asarray(key).transpose(0, 2, 1)).contiguous()
+    v = torch.from_numpy(np.asarray(value).transpose(0, 2, 1)).contiguous()
+    q = torch.from_numpy(np.asarray(query).transpose(0, 2, 1)).contiguous()
+    q = q.permute(0, 2, 1)
+    _, kc_shadowed = k.shape[:2]        # key view: KC = 4 ...
+    _, kc_shadowed = v.shape[:2]        # ... shadowed by value: KC = C = 8
+    sim = torch.bmm(k.view(B, KC, -1), q) * (kc_shadowed ** -0.5)
+    sim = torch.softmax(sim, dim=1)
+    ctx = torch.bmm(sim, v.view(B, C, -1))  # [B, KC, N]
+    np.testing.assert_allclose(out, ctx.numpy().transpose(0, 2, 1), atol=1e-4)
+
+    # the misread class-count scale (4**-0.5) must NOT match at these magnitudes
+    wrong = torch.softmax(torch.bmm(k.view(B, KC, -1), q) * (KC ** -0.5), dim=1)
+    wrong_ctx = torch.bmm(wrong, v.view(B, C, -1)).numpy().transpose(0, 2, 1)
+    assert np.abs(out - wrong_ctx).max() > 1e-3
 
 
 def test_train_mode_updates_batch_stats(small_net):

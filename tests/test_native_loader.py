@@ -55,3 +55,20 @@ def test_native_out_of_range_start_clamped(dataset):
 def test_native_len(dataset):
     native = NativeEv2HandSLoader(dataset, n_events=128)
     assert len(native) == 16384
+
+
+def test_native_short_table_wraps(tmp_path):
+    """A table shorter than one window must wrap, not read out of bounds
+    (previously fill_window copied n_events rows past the buffer)."""
+    root = str(tmp_path / "short")
+    write_synthetic_ev2hands_s(root, n_events=100, n_frames=2, width=64, height=48)
+    n_events = 256  # > table length (100 rows)
+    native = NativeEv2HandSLoader(root, n_events=n_events)
+    batch = native.fill_batch(2, starts=np.array([0, 40], np.int64))
+    assert batch["events"].shape == (2, n_events, 4)
+    assert np.isfinite(batch["events"]).all()
+    # wrapped rows repeat the table contents
+    np.testing.assert_array_equal(batch["events"][0, 100], batch["events"][0, 0])
+    # random path routes through the same guard
+    rnd = native.fill_batch(2, step=0)
+    assert np.isfinite(rnd["events"]).all()

@@ -58,6 +58,26 @@ def test_sliding_windows_advance(recording):
     assert w1["events"][0, 2] == 0.0  # origin-shifted
 
 
+def test_gt_frame_rule_first_unique(recording):
+    """Sliding-window GT joints come from the FIRST unique frame index in the
+    window (reference `joints_3d[:1]` over the sorted unique list,
+    evaluation_stream.py:150,184), not the majority frame — which is what
+    `frame_index` itself reports (:222-223)."""
+    s = RealStream(recording)
+    saw_disagreement = False
+    for w in s.sliding_windows(capacity=8192):
+        np.testing.assert_array_equal(
+            w["j3d"], s.joints_3d(int(w["first_frame_index"]))
+        )
+        assert w["first_frame_index"] <= w["frame_index"]
+        if w["first_frame_index"] != w["frame_index"]:
+            saw_disagreement = True
+            break
+    # the synthetic recording has windows straddling frame boundaries, so the
+    # two rules must actually disagree somewhere for this test to bite
+    assert saw_disagreement
+
+
 def test_joints_2d_projection(recording):
     s = RealStream(recording)
     j2d = s.joints_2d(0)
@@ -130,6 +150,14 @@ def test_evaluate_recording(recording, mano_hands, small_cfg, tmp_path):
     assert 0 <= report["non_collision_pct"] <= 100
     assert set(report["auc"]) == {"absolute", "relative", "right_root_relative"}
 
+    # tail coverage: a window count that does not divide the batch size must
+    # be scored in full (the final partial batch is padded + masked, not
+    # dropped)
+    report = evaluate_recording(
+        step, state, RealStream(recording), cfg, batch_size=4, max_windows=6
+    )
+    assert report["frames"] == 6
+
 
 def test_demo_renders_video(recording, small_cfg, tmp_path, monkeypatch):
     import ev2hands_tpu.demo as demo_mod
@@ -138,9 +166,10 @@ def test_demo_renders_video(recording, small_cfg, tmp_path, monkeypatch):
     monkeypatch.setattr(demo_mod, "DEFAULT_CONFIG", small_cfg)
     out, n = demo_mod.run_demo(
         recording, checkpoint_path="", out_path=str(tmp_path / "demo.mp4"),
-        batch_size=2, max_windows=2, synthetic_mano=True,
+        batch_size=2, max_windows=3, synthetic_mano=True,
     )
     import os
 
     assert os.path.exists(out) and os.path.getsize(out) > 0
-    assert n >= 2
+    # 3 % 2 != 0: the final partial batch must be rendered, not dropped
+    assert n == 3

@@ -108,6 +108,35 @@ def test_eval_step_and_metrics(pipeline):
     assert metrics["pck3d"]["relative"].shape == (51,)
 
 
+def test_sequential_batches_full_coverage(pipeline):
+    """sequential_batches visits every window start exactly once (reference
+    per-event indexing, dataset/erpc.py:169) and pads-masks the tail."""
+    cfg, reader, *_ = pipeline
+    stride = 512
+    total = reader.n_windows(stride)
+    assert total == (len(reader) + stride - 1) // stride
+    seen = 0
+    first = None
+    for batch, n_real in reader.sequential_batches(3, stride=stride):
+        assert batch["events"].shape[0] == 3  # static jit shape
+        if first is None:
+            first = batch["events"][0]
+        seen += n_real
+    assert seen == total
+    assert total % 3 != 0  # the tail path actually exercised
+    np.testing.assert_array_equal(first, reader.window(0)["events"])
+
+    # full-split evaluation consumes (batch, n_real) pairs and counts frames
+    from ev2hands_tpu.train import build_collision_context  # noqa: F401
+    from ev2hands_tpu.evaluate import evaluate_dataset
+
+    cfg2, reader2, hands, ctx, net, optimizer, new_state = pipeline
+    report = evaluate_dataset(
+        new_state(), net, hands, reader2, cfg2, full_split=True, stride=1024,
+    )
+    assert report["frames"] == reader2.n_windows(1024)
+
+
 def test_prefetcher_preserves_order(pipeline):
     _, reader, *_ = pipeline
     direct = [b["events"].sum() for b in reader.batches(2, shuffle=False, max_batches=3)]
@@ -145,16 +174,68 @@ def test_train_resume(pipeline, tmp_path, monkeypatch):
     ckptr.save(5, {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
         "step": np.int64(5),
         "max_eval_score": 0.42,
     })
     restored = ckptr.restore(5, {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
         "step": 0, "max_eval_score": 0.0,
     })
     assert int(restored["step"]) == 5
     assert float(restored["max_eval_score"]) == 0.42
+
+
+def test_resume_reproduces_trajectory(pipeline, tmp_path):
+    """Checkpoint at step K, then K+M more steps, must equal an uninterrupted
+    K+M run bitwise — this requires opt_state (Adam moments) to round-trip
+    through the checkpoint (reference persists `optimize_state`,
+    train.py:117-123)."""
+    from ev2hands_tpu.checkpoint import NativeCheckpointer
+    from ev2hands_tpu.train import TrainState
+
+    cfg, reader, hands, ctx, net, optimizer, new_state = pipeline
+    step = make_train_step(net, hands, ctx, cfg, optimizer, augment=False)
+    key = jax.random.PRNGKey(7)
+    batches = list(reader.batches(2, shuffle=False, max_batches=6))
+
+    # uninterrupted run: 3 + 3 steps, checkpointing after step 3
+    state = new_state()
+    for b in batches[:3]:
+        state, _ = step(state, b, key)
+    ckptr = NativeCheckpointer(str(tmp_path / "ckpt"))
+    saved = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": np.int64(int(state.step)),
+    }
+    ckptr.save(3, saved)
+    for b in batches[3:]:
+        state, _ = step(state, b, key)
+    uninterrupted = jax.device_get(state.params)
+
+    # resumed run: fresh process state, restore, then the same 3 steps
+    fresh = new_state()
+    restored = ckptr.restore(3, {
+        "params": jax.device_get(fresh.params),
+        "batch_stats": jax.device_get(fresh.batch_stats),
+        "opt_state": jax.device_get(fresh.opt_state),
+        "step": 0,
+    })
+    state2 = TrainState(
+        params=restored["params"], batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=jnp.asarray(int(restored["step"]), jnp.int32),
+    )
+    for b in batches[3:]:
+        state2, _ = step(state2, b, key)
+    resumed = jax.device_get(state2.params)
+
+    for a, b in zip(jax.tree.leaves(uninterrupted), jax.tree.leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_train_loop_with_native_loader(pipeline, tmp_path, monkeypatch):
