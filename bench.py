@@ -87,6 +87,77 @@ def measure_ours(batch_size=32, iters=20, n_points=2048):
     t0 = time.perf_counter()
     jax.device_get(fn(variables, raw, labels, jax.random.PRNGKey(2)))
     dt = time.perf_counter() - t0
+
+    # analytic FLOPs of the compiled program (XLA cost model) -> MFU
+    flops_per_window = mfu_pct = None
+    try:
+        compiled = fn.lower(variables, raw, labels, jax.random.PRNGKey(2)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        total_flops = float(ca.get("flops", 0.0))
+        if total_flops > 0:
+            flops_per_window = total_flops / (batch_size * iters)
+            # TPU v5 lite peak: ~197 TFLOP/s bf16 / ~98 fp32; this pipeline
+            # runs fp32-dominant element ops with bf16 matmuls — report MFU
+            # against the bf16 peak (conservative).
+            peak = 197e12
+            mfu_pct = 100.0 * (total_flops / dt) / peak
+    except Exception as e:  # cost analysis is best-effort on remote platforms
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
+    return batch_size * iters / dt, flops_per_window, mfu_pct
+
+
+def measure_train_step(batch_size=8, iters=10, n_points=2048):
+    """Windows/s of the FULL jitted train step (device ERPC + fwd + MANO +
+    losses incl. collision + bwd + Adam) — the published number for the
+    training path (the inference headline uses the dense eval path)."""
+    import jax
+    import numpy as np
+    import optax
+
+    from __graft_entry__ import _fake_batch
+    from ev2hands_tpu.config import DEFAULT_CONFIG
+    from ev2hands_tpu.mano import create_mano_hands, synthetic_mano_models
+    from ev2hands_tpu.model import TEHNet
+    from ev2hands_tpu.train import (
+        build_collision_context,
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = DEFAULT_CONFIG.replace(
+        model=DEFAULT_CONFIG.model.__class__(
+            n_points=n_points, fps_deterministic=True
+        ),
+        train=DEFAULT_CONFIG.train.__class__(batch_size=batch_size),
+    )
+    hands_obj = create_mano_hands(synthetic_mano_models(0))
+    hands = {s: h.params for s, h in hands_obj.items()}
+    ctx = build_collision_context(hands_obj)
+    net = TEHNet(cfg=cfg.model)
+    optimizer = optax.adam(cfg.train.learning_rate)
+    state = create_train_state(net, cfg, jax.random.PRNGKey(0), optimizer)
+    step = make_train_step(net, hands, ctx, cfg, optimizer, augment=True)
+
+    batch = {k: jax.numpy.asarray(v) if not isinstance(v, dict)
+             else {kk: jax.numpy.asarray(vv) for kk, vv in v.items()}
+             for k, v in _fake_batch(cfg, batch_size, np.random.RandomState(0)).items()}
+
+    def looped(state, key):
+        def body(s, k):
+            s2, losses = step(s, batch, k)
+            return s2, losses["loss"]
+
+        _, losses = jax.lax.scan(body, state, jax.random.split(key, iters))
+        return losses[-1]
+
+    fn = jax.jit(looped)
+    jax.device_get(fn(state, jax.random.PRNGKey(1)))  # compile
+    t0 = time.perf_counter()
+    jax.device_get(fn(state, jax.random.PRNGKey(2)))
+    dt = time.perf_counter() - t0
     return batch_size * iters / dt
 
 
@@ -157,7 +228,12 @@ def get_torch_baseline():
 
 
 def main():
-    ours = measure_ours()
+    ours, flops_per_window, mfu_pct = measure_ours()
+    try:
+        train_wps = measure_train_step()
+    except Exception as e:
+        print(f"# train-step bench failed: {e}", file=sys.stderr)
+        train_wps = None
     torch_cpu = get_torch_baseline()
     vs = (ours / (10.0 * torch_cpu)) if torch_cpu else None
     print(json.dumps({
@@ -165,6 +241,13 @@ def main():
         "value": round(ours, 2),
         "unit": "windows/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "train_step_windows_per_sec": (
+            round(train_wps, 2) if train_wps is not None else None
+        ),
+        "flops_per_window": (
+            round(flops_per_window) if flops_per_window is not None else None
+        ),
+        "mfu_pct": round(mfu_pct, 3) if mfu_pct is not None else None,
     }))
 
 

@@ -77,6 +77,11 @@ class ModelConfig:
     # 'gather', training always uses 'gather' for BatchNorm-stat parity) or
     # 'gather' (the reference's top_k + gather formulation everywhere).
     grouping: str = "dense"
+    # Shard the event dimension N over a mesh 'event' axis in the dense eval
+    # path (SURVEY §5's context-parallel analogue for event clouds). Takes
+    # effect when a Mesh is passed as ``TEHNet(cfg, event_mesh=...)``;
+    # lets N scale past a single chip's quadratic-pair budget.
+    event_parallel: bool = False
     dropout_classifier: float = 0.3
     dropout_query: float = 0.1
     dropout_regressor: float = 0.3

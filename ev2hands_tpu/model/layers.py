@@ -70,6 +70,11 @@ class SetAbstractionMsg(nn.Module):
     mlps: Sequence[Sequence[int]]
     grouping: str = "dense"   # 'dense' | 'gather'
     dense_chunk: int = 64     # centroids per chunk in dense mode
+    # Optional jax.sharding.Mesh with an 'event' axis: shards the quadratic
+    # [S, N] pair work of the dense eval path over devices (the
+    # context-parallel analogue, SURVEY §5). Inference-only — training keeps
+    # the gather path for BN-stat parity. See parallel/event_parallel.py.
+    event_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -83,7 +88,12 @@ class SetAbstractionMsg(nn.Module):
         new_xyz = index_points(xyz, fps_idx)  # [B, S, 3]
 
         use_dense = self.grouping == "dense" and not train and points is not None
-        if use_dense:
+        # event sharding needs live params (folded BN), so never during init
+        use_event = (
+            use_dense and self.event_mesh is not None
+            and not self.is_initializing()
+        )
+        if use_dense and not use_event:
             sqrdists = square_distance(new_xyz, xyz)  # [B, S, N] shared
 
         outs = []
@@ -92,6 +102,9 @@ class SetAbstractionMsg(nn.Module):
             convs = [nn.Dense(w, name=f"conv_{i}_{j}") for j, w in enumerate(self.mlps[i])]
             bns = [_bn(train, f"bn_{i}_{j}") for j in range(len(self.mlps[i]))]
 
+            if use_event:
+                outs.append(self._event_scale(i, xyz, points, new_xyz, radius, k))
+                continue
             if use_dense:
                 outs.append(
                     self._dense_scale(
@@ -114,6 +127,32 @@ class SetAbstractionMsg(nn.Module):
             outs.append(jnp.max(x, axis=2))  # [B, S, width]
 
         return new_xyz, jnp.concatenate(outs, axis=-1)
+
+    def _event_scale(self, i, xyz, points, new_xyz, radius, k):
+        """Dense scale with the event axis sharded over ``self.event_mesh``:
+        eval BatchNorm folds into the Dense weights (pure function), and the
+        shard_map'd body in parallel/event_parallel.py runs the pair math on
+        N/E-sized shards with one tiny all_gather + pmax."""
+        from ev2hands_tpu.parallel.event_parallel import (
+            event_sharded_msg_scale,
+            fold_bn_dense,
+        )
+
+        p = self.variables["params"]
+        bs = self.variables["batch_stats"]
+        layers = []
+        for j in range(len(self.mlps[i])):
+            conv = p[f"conv_{i}_{j}"]
+            bn = p[f"bn_{i}_{j}"]
+            st = bs[f"bn_{i}_{j}"]
+            layers.append(fold_bn_dense(
+                conv["kernel"], conv["bias"],
+                bn["scale"], bn["bias"], st["mean"], st["var"],
+            ))
+        return event_sharded_msg_scale(
+            self.event_mesh, xyz, points, new_xyz, layers, radius, k,
+            s_chunk=self.dense_chunk,
+        )
 
     def _dense_scale(self, xyz, points, new_xyz, sqrdists, radius, k, convs, bns):
         """Gather-free scale: masked dense pairs, chunked over centroids."""

@@ -59,6 +59,7 @@ class ManoRegressor(nn.Module):
     n_shape_params: int = 10
     dropout: float = 0.3
     grouping: str = "dense"
+    event_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -75,6 +76,7 @@ class ManoRegressor(nn.Module):
             mlps=((128, 128, 256), (128, 196, 256)),
             grouping=self.grouping,
             dense_chunk=32,
+            event_mesh=self.event_mesh,
             name="sa1",
         )(xyz, features, train, fps_key)
         _, l2_points = SetAbstractionAll(mlp=(256, 512), name="sa2")(
@@ -103,6 +105,10 @@ class TEHNet(nn.Module):
     MANO parameters (``TEHNet.py:115-197``)."""
 
     cfg: ModelConfig = ModelConfig()
+    # jax.sharding.Mesh with an 'event' axis (and optionally 'data'):
+    # enables event-dimension sharding of the dense-mode quadratic pair work
+    # when cfg.event_parallel is set (SURVEY §5's context-parallel analogue).
+    event_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -111,6 +117,7 @@ class TEHNet(nn.Module):
         train: bool = False,
     ) -> Dict[str, jax.Array]:
         cfg = self.cfg
+        emesh = self.event_mesh if cfg.event_parallel else None
         l0_points = events
         l0_xyz = events[..., :3]
         if cfg.mhlnes:
@@ -128,6 +135,7 @@ class TEHNet(nn.Module):
             nsample_list=(32, 64, 128),
             mlps=((32, 32, 64), (64, 64, 128), (64, 96, 128)),
             grouping=cfg.grouping,
+            event_mesh=emesh,
             name="sa1",
         )(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = SetAbstractionMsg(
@@ -136,6 +144,7 @@ class TEHNet(nn.Module):
             nsample_list=(64, 128),
             mlps=((128, 128, 256), (128, 196, 256)),
             grouping=cfg.grouping,
+            event_mesh=emesh,
             name="sa2",
         )(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = SetAbstractionAll(mlp=(256, 512, 1024), name="sa3")(
@@ -171,10 +180,12 @@ class TEHNet(nn.Module):
 
         left = ManoRegressor(
             dropout=cfg.dropout_regressor, grouping=cfg.grouping,
+            event_mesh=emesh,
             name="left_mano_regressor",
         )(l0_xyz, left_features, train, keys[2])
         right = ManoRegressor(
             dropout=cfg.dropout_regressor, grouping=cfg.grouping,
+            event_mesh=emesh,
             name="right_mano_regressor",
         )(l0_xyz, right_features, train, keys[3])
 

@@ -146,3 +146,30 @@ def test_evaluate_artifacts(tmp_path):
     assert (tmp_path / "metrics.npy").exists()
     assert (tmp_path / "metrics.json").exists()
     assert (tmp_path / "pck3d_relative.png").exists()
+
+
+def test_parity_report_synthetic(tmp_path, monkeypatch):
+    """scripts/parity_report.py end-to-end on synthetic stand-ins: both
+    frameworks forward identical ERPC inputs; the gap must be tiny (same
+    weights) and the report asset-ready for the real .pth/MANO/dataset."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import parity_report
+
+    from ev2hands_tpu.events.streams import write_synthetic_ev2hands_s
+
+    root = str(tmp_path / "data")
+    write_synthetic_ev2hands_s(f"{root}/test", n_events=20_000, n_frames=4,
+                               width=64, height=48)
+    report = parity_report.run_report(
+        pth=None, mano_dir="", data_root=root, split="test",
+        batch_size=2, stride=8192, max_batches=2, synthetic=True,
+        n_points=256,
+    )
+    assert report["frames"] >= 2
+    assert np.isfinite(report["ours"]["mpjpe_mm"])
+    assert "reference" in report and "gap_pct" in report
+    # same weights, same inputs: the two frameworks agree well within 1%
+    assert report["gap_pct"]["mpjpe"] < 1.0
+    assert report["within_1pct"]
