@@ -82,6 +82,18 @@ class ModelConfig:
     # effect when a Mesh is passed as ``TEHNet(cfg, event_mesh=...)``;
     # lets N scale past a single chip's quadratic-pair budget.
     event_parallel: bool = False
+    # Use the fused Pallas grouping kernel for the dense-path scales where
+    # it measured faster than XLA (TEHNet sa1 scales 2-3 on v5e: ~1.2x);
+    # TPU inference only, exact on-device numerics vs the XLA dense path.
+    pallas_grouping: bool = True
+    # Run the two MANO regressor heads as one h-stacked pass in the dense
+    # eval path (shared FPS/selection, folded BN, batched matmuls) — exact
+    # eval numerics (tested). MEASURED SLOWER on TPU v5e than the two plain
+    # dots XLA emits for the separate heads (280 vs 315 windows/s full
+    # pipeline at B=32): the h-batched dot_general tiles worse than two
+    # unbatched ones, and XLA already CSEs the shared FPS/distance work.
+    # Kept as an option; default off. See model/fused_regressor.py.
+    fused_regressors: bool = False
     dropout_classifier: float = 0.3
     dropout_query: float = 0.1
     dropout_regressor: float = 0.3

@@ -75,6 +75,9 @@ class SetAbstractionMsg(nn.Module):
     # context-parallel analogue, SURVEY §5). Inference-only — training keeps
     # the gather path for BN-stat parity. See parallel/event_parallel.py.
     event_mesh: Optional[object] = None
+    # Use the fused Pallas grouping kernel for scales where it measured
+    # faster than the XLA dense path (see _use_pallas_scale); TPU eval only.
+    pallas_grouping: bool = True
 
     @nn.compact
     def __call__(
@@ -106,6 +109,11 @@ class SetAbstractionMsg(nn.Module):
                 outs.append(self._event_scale(i, xyz, points, new_xyz, radius, k))
                 continue
             if use_dense:
+                if self._use_pallas_scale(i, xyz.shape[1]):
+                    outs.append(
+                        self._pallas_scale(i, xyz, points, new_xyz, radius, k)
+                    )
+                    continue
                 outs.append(
                     self._dense_scale(
                         xyz, points, new_xyz, sqrdists, radius, k, convs, bns
@@ -127,6 +135,49 @@ class SetAbstractionMsg(nn.Module):
             outs.append(jnp.max(x, axis=2))  # [B, S, width]
 
         return new_xyz, jnp.concatenate(outs, axis=-1)
+
+    def _use_pallas_scale(self, i: int, n_points: int) -> bool:
+        """Gate for the fused Pallas grouping kernel: only where it measured
+        faster than the XLA dense path on TPU v5e — large pair counts with a
+        wide conv chain (TEHNet sa1 scales 2-3: 24 -> 20 ms each at B=32).
+        Narrow scales (scale 1: XLA 7 ms vs kernel 20 ms floor) and the
+        regressor scales (tie) keep the XLA path."""
+        if not self.pallas_grouping or self.is_initializing():
+            return False
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            return False
+        mlp = self.mlps[i]
+        pair_flops = mlp[0] * mlp[1] + mlp[1] * mlp[2] if len(mlp) == 3 else 0
+        return (
+            n_points * self.npoint >= 512 * 2048
+            and pair_flops >= 8000
+            and len(mlp) == 3
+            and n_points % 128 == 0   # sel block last-dim constraint
+            and self.npoint % 8 == 0  # sb divisibility
+        )
+
+    def _pallas_scale(self, i, xyz, points, new_xyz, radius, k):
+        """One scale through the fused Pallas kernel (2-D per-centroid
+        tiles): BN folds into the layer weights; the selection mask is
+        precomputed in XLA. Bitwise-matched the XLA dense path on-device
+        (see ops/pallas_grouping.py)."""
+        from ev2hands_tpu.ops.pallas_grouping import (
+            dense_msg_scale_pallas_2d,
+            dense_selection_mask,
+            fold_scale_params,
+        )
+
+        p = self.variables["params"]
+        bs = self.variables["batch_stats"]
+        conv_params = [p[f"conv_{i}_{j}"] for j in range(3)]
+        bn_params = [
+            {**p[f"bn_{i}_{j}"], **bs[f"bn_{i}_{j}"]} for j in range(3)
+        ]
+        folded = fold_scale_params(points, xyz, new_xyz, conv_params, bn_params)
+        sel = dense_selection_mask(xyz, new_xyz, radius, k)
+        return dense_msg_scale_pallas_2d(folded, sel, sb=8)
 
     def _event_scale(self, i, xyz, points, new_xyz, radius, k):
         """Dense scale with the event axis sharded over ``self.event_mesh``:

@@ -136,6 +136,7 @@ class TEHNet(nn.Module):
             mlps=((32, 32, 64), (64, 64, 128), (64, 96, 128)),
             grouping=cfg.grouping,
             event_mesh=emesh,
+            pallas_grouping=cfg.pallas_grouping,
             name="sa1",
         )(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = SetAbstractionMsg(
@@ -145,6 +146,7 @@ class TEHNet(nn.Module):
             mlps=((128, 128, 256), (128, 196, 256)),
             grouping=cfg.grouping,
             event_mesh=emesh,
+            pallas_grouping=cfg.pallas_grouping,
             name="sa2",
         )(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = SetAbstractionAll(mlp=(256, 512, 1024), name="sa3")(
@@ -178,16 +180,33 @@ class TEHNet(nn.Module):
         left_features = attention_block(seg_logits, feat_fuse, left_query)
         right_features = attention_block(seg_logits, feat_fuse, right_query)
 
-        left = ManoRegressor(
-            dropout=cfg.dropout_regressor, grouping=cfg.grouping,
-            event_mesh=emesh,
-            name="left_mano_regressor",
-        )(l0_xyz, left_features, train, keys[2])
-        right = ManoRegressor(
-            dropout=cfg.dropout_regressor, grouping=cfg.grouping,
-            event_mesh=emesh,
-            name="right_mano_regressor",
-        )(l0_xyz, right_features, train, keys[3])
+        # Inference fast path: both regressor heads as ONE h-stacked pass
+        # with shared FPS/selection masks and folded BN (exact eval numerics,
+        # fewer+larger MXU matmuls). Training and init use the flax modules,
+        # which own the parameter tree.
+        use_fused = (
+            cfg.fused_regressors and not train and cfg.grouping == "dense"
+            and emesh is None and not self.is_initializing()
+        )
+        if use_fused:
+            from ev2hands_tpu.model.fused_regressor import (
+                fused_two_hand_regressor,
+            )
+
+            left, right = fused_two_hand_regressor(
+                self.variables, l0_xyz, left_features, right_features
+            )
+        else:
+            left = ManoRegressor(
+                dropout=cfg.dropout_regressor, grouping=cfg.grouping,
+                event_mesh=emesh,
+                name="left_mano_regressor",
+            )(l0_xyz, left_features, train, keys[2])
+            right = ManoRegressor(
+                dropout=cfg.dropout_regressor, grouping=cfg.grouping,
+                event_mesh=emesh,
+                name="right_mano_regressor",
+            )(l0_xyz, right_features, train, keys[3])
 
         return {"class_logits": seg_logits, "left": left, "right": right}
 

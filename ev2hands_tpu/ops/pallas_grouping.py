@@ -1,4 +1,25 @@
-"""Fused Pallas kernel for dense multi-scale grouping. EXPERIMENTAL.
+"""Fused Pallas kernels for dense multi-scale grouping.
+
+PRODUCTION (v2, ``dense_msg_scale_pallas_2d``): strictly 2-D per-centroid
+tiles — wired into ``SetAbstractionMsg`` for the scales where it measured
+faster than the XLA dense path (TEHNet sa1 scales 2-3 on v5e: 24 -> 20 ms
+each at B=32; full pipeline 315 -> 350 windows/s).  v1's diagnosed wall was
+Mosaic's 3-D elementwise broadcast/mask/max lowering; v2 never creates a
+3-D tensor: per centroid, subtract/relu is a [N, C] VPU op, the conv chain
+is two [N, C] @ [C, C'] MXU dots, and the masked pool is a 2-D row max.
+The selection mask (first-K-in-radius + point-0 fallback) is precomputed in
+XLA (``dense_selection_mask``) — one cheap d2 matmul + cumsum.
+
+Measured (device-timed scan, B=32, N=2048, S=512):
+  sa1 scale3 (64/96/128): v2 19.8 ms vs XLA 23.8 ms  (1.20x)
+  sa1 scale2 (64/64/128): v2 19.9 ms vs XLA 23.9 ms  (1.20x)
+  sa1 scale1 (32/32/64):  v2 20.1 ms vs XLA  7.1 ms  (0.36x — XLA kept)
+  regressor scales (128/*/256, S=128): tie (1.01-1.02x — XLA kept)
+  v3 (scratch assembly + one big dot per layer): 23-28 ms — the VMEM
+  store/load roundtrip costs more than v2's small-dot issue overhead.
+
+The v1 kernel below (3-D tiles, in-kernel rank) is kept as the documented
+exploration that motivated v2. HISTORICAL NOTE for v1:
 
 One kernel per SA-MSG scale computes, entirely in VMEM tiles:
   pairwise distances -> in-radius mask -> running first-K-by-index rank
@@ -204,3 +225,158 @@ def dense_msg_scale_pallas(
         folded.W2, folded.b2, folded.W3, folded.b3,
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# v2: strictly 2-D per-centroid tiles
+# ---------------------------------------------------------------------------
+
+def _kernel_2d(
+    u_ref,       # [1, N, C1]  per-point first layer, VMEM-resident
+    v_ref,       # [1, Sb, C1] per-centroid first layer
+    sel_ref,     # [1, Sb, N]  float32 selection mask (incl. empty fallback)
+    W2_ref, b2_ref, W3_ref, b3_ref,
+    out_ref,     # [1, Sb, C3]
+):
+    """One (batch, centroid-block) grid step with NO 3-D tensors anywhere:
+    the centroid loop is a static python unroll; each iteration is a 2-D
+    [N, C] chain — subtract/relu on the VPU, two [N, C] @ [C, C'] dots on
+    the MXU, masked max over rows.  This is the restructuring the v1 STATUS
+    note calls for: v1's cost was Mosaic's 3-D broadcast/mask/max lowering,
+    which this layout never creates."""
+    u = u_ref[0]                     # [N, C1]
+    sb = v_ref.shape[1]
+    for j in range(sb):              # static unroll
+        z = jax.nn.relu(u - v_ref[0, j, :][None, :])          # [N, C1]
+        h = jax.nn.relu(
+            jnp.dot(z, W2_ref[...], preferred_element_type=jnp.float32)
+            + b2_ref[...]
+        )                                                      # [N, C2]
+        h = jax.nn.relu(
+            jnp.dot(h, W3_ref[...], preferred_element_type=jnp.float32)
+            + b3_ref[...]
+        )                                                      # [N, C3]
+        m = sel_ref[0, j, :][:, None]                          # [N, 1]
+        out_ref[0, j, :] = jnp.max(h + (m - 1.0) * 1e30, axis=0)
+
+
+def dense_selection_mask(
+    xyz: jax.Array, new_xyz: jax.Array, radius: float, nsample: int
+) -> jax.Array:
+    """[B, S, N] float32 mask: first ``nsample`` in-radius points by index,
+    with the reference's point-0 fallback for empty neighborhoods.  Cheap
+    XLA work (one d2 matmul + cumsum) done outside the Pallas kernel."""
+    hi = jax.lax.Precision.HIGHEST
+    d2 = (
+        jnp.sum(new_xyz**2, -1)[:, :, None]
+        + jnp.sum(xyz**2, -1)[:, None, :]
+        - 2.0 * jnp.einsum("bsc,bnc->bsn", new_xyz, xyz, precision=hi)
+    )
+    mask = d2 <= radius * radius
+    rank = jnp.cumsum(mask, axis=-1) - mask
+    sel = mask & (rank < nsample)
+    empty = ~jnp.any(mask, axis=-1)
+    sel = sel | (empty[..., None] & (jnp.arange(xyz.shape[1]) == 0))
+    return sel.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sb", "interpret")
+)
+def dense_msg_scale_pallas_2d(
+    folded: FoldedScale,
+    sel: jax.Array,       # [B, S, N] from dense_selection_mask
+    sb: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> [B, S, C3] pooled features for one scale (2-D tile design)."""
+    B, N, C1 = folded.u.shape
+    S = folded.v.shape[1]
+    C2 = folded.W2.shape[-1]
+    C3 = folded.W3.shape[-1]
+    assert S % sb == 0, (S, sb)
+
+    grid = (B, S // sb)
+    return pl.pallas_call(
+        _kernel_2d,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, N, C1), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, sb, C1), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((1, sb, N), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((C1, C2), lambda b, s: (0, 0)),
+            pl.BlockSpec((C2,), lambda b, s: (0,)),
+            pl.BlockSpec((C2, C3), lambda b, s: (0, 0)),
+            pl.BlockSpec((C3,), lambda b, s: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, sb, C3), lambda b, s: (b, s, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, C3), jnp.float32),
+        interpret=interpret,
+    )(folded.u, folded.v, sel, folded.W2, folded.b2, folded.W3, folded.b3)
+
+
+def _kernel_2d_batched(
+    u_ref,       # [1, N, C1]
+    v_ref,       # [1, Sb, C1]
+    sel_ref,     # [1, Sb, N] float32
+    W2_ref, b2_ref, W3_ref, b3_ref,
+    out_ref,     # [1, Sb, C3]
+    z_scr,       # [Sb*N, C1] VMEM scratch
+):
+    """v3: per-centroid 2-D subtract/relu tiles assembled into one scratch
+    matrix, then a single [Sb*N, C] @ [C, C'] dot per layer — the MXU sees
+    one large matmul instead of Sb small ones (v2's per-centroid dots were
+    issue-bound: ~constant 20 ms regardless of channel width)."""
+    u = u_ref[0]                              # [N, C1]
+    sb = v_ref.shape[1]
+    N = u.shape[0]
+    for j in range(sb):
+        z_scr[pl.ds(j * N, N), :] = jax.nn.relu(u - v_ref[0, j, :][None, :])
+    h = jax.nn.relu(
+        jnp.dot(z_scr[...], W2_ref[...], preferred_element_type=jnp.float32)
+        + b2_ref[...]
+    )                                          # [Sb*N, C2]
+    h = jax.nn.relu(
+        jnp.dot(h, W3_ref[...], preferred_element_type=jnp.float32)
+        + b3_ref[...]
+    )                                          # [Sb*N, C3]
+    for j in range(sb):
+        m = sel_ref[0, j, :][:, None]
+        out_ref[0, j, :] = jnp.max(
+            h[j * N : (j + 1) * N, :] + (m - 1.0) * 1e30, axis=0
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("sb", "interpret"))
+def dense_msg_scale_pallas_2d_batched(
+    folded: FoldedScale,
+    sel: jax.Array,
+    sb: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> [B, S, C3]; v3 of the fused grouping kernel (see _kernel_2d_batched)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C1 = folded.u.shape
+    S = folded.v.shape[1]
+    C2 = folded.W2.shape[-1]
+    C3 = folded.W3.shape[-1]
+    assert S % sb == 0, (S, sb)
+
+    return pl.pallas_call(
+        _kernel_2d_batched,
+        grid=(B, S // sb),
+        in_specs=[
+            pl.BlockSpec((1, N, C1), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, sb, C1), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((1, sb, N), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((C1, C2), lambda b, s: (0, 0)),
+            pl.BlockSpec((C2,), lambda b, s: (0,)),
+            pl.BlockSpec((C2, C3), lambda b, s: (0, 0)),
+            pl.BlockSpec((C3,), lambda b, s: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, sb, C3), lambda b, s: (b, s, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, C3), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((sb * N, C1), jnp.float32)],
+        interpret=interpret,
+    )(folded.u, folded.v, sel, folded.W2, folded.b2, folded.W3, folded.b3)

@@ -124,6 +124,44 @@ def test_attention_block_semantics(rng):
     assert np.abs(out - wrong_ctx).max() > 1e-3
 
 
+def test_fused_regressor_matches_separate(rng):
+    """The h-stacked two-hand regressor fast path produces the same outputs
+    as the two separate flax heads (eval, dense mode)."""
+    from ev2hands_tpu.config import ModelConfig
+
+    N = 256
+    events = jnp.asarray(
+        np.concatenate([
+            rng.rand(2, N, 2) * 2 - 1,
+            np.sort(rng.rand(2, N, 1) * 2 - 1, 1),
+            rng.randint(1, 5, (2, N, 2)),
+        ], axis=-1), jnp.float32,
+    )
+    cfg_sep = ModelConfig(n_points=N, fps_deterministic=True,
+                          grouping="dense", fused_regressors=False)
+    cfg_fused = ModelConfig(n_points=N, fps_deterministic=True,
+                            grouping="dense", fused_regressors=True)
+    net_sep = TEHNet(cfg=cfg_sep)
+    variables = net_sep.init(
+        {"params": jax.random.PRNGKey(0)}, events, train=False
+    )
+    # perturb BN running stats so the fold is non-trivial
+    variables = jax.tree.map(lambda a: a + 0.03 if a.ndim == 1 else a, variables)
+
+    ref = net_sep.apply(variables, events, train=False)
+    got = TEHNet(cfg=cfg_fused).apply(variables, events, train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(got["class_logits"]), np.asarray(ref["class_logits"])
+    )
+    for side in ("left", "right"):
+        for k in ("global_orient", "hand_pose", "betas", "transl"):
+            np.testing.assert_allclose(
+                np.asarray(got[side][k]), np.asarray(ref[side][k]),
+                rtol=1e-4, atol=1e-4, err_msg=f"{side}/{k}",
+            )
+
+
 def test_train_mode_updates_batch_stats(small_net):
     net, variables = small_net
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 256, 5))
