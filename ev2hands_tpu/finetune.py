@@ -146,6 +146,7 @@ def finetune(
     net = TEHNet(cfg=cfg.model)
     optimizer = optax.adam(cfg.train.learning_rate)
     state = create_train_state(net, cfg, jax.random.PRNGKey(cfg.train.seed), optimizer)
+    logger.log_run_config(cfg, net)
 
     if checkpoint_path:
         from ev2hands_tpu.evaluate import load_checkpoint_into_state

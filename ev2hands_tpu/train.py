@@ -203,6 +203,7 @@ def train(cfg: Config = DEFAULT_CONFIG, synthetic_mano: bool = False,
     ) if cfg.train.weight_decay else optax.adam(cfg.train.learning_rate)
 
     state = create_train_state(net, cfg, jax.random.PRNGKey(cfg.train.seed), optimizer)
+    logger.log_run_config(cfg, net)
     start_it = 0
     resumed_score = -np.inf
 
@@ -329,7 +330,19 @@ def main():
     ap.add_argument("--resume_dir", default=None,
                     help="previous run's ckpt dir to resume from")
     ap.add_argument("--synthetic_mano", action="store_true")
+    # multi-host bring-up (DCN): pass all three to join a jax.distributed
+    # cluster (e.g. from scripts/slurm_train.sh); single-process otherwise
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     args = ap.parse_args()
+
+    if args.num_processes:
+        from ev2hands_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
 
     cfg = DEFAULT_CONFIG
     cfg = cfg.replace(train=cfg.train.__class__(

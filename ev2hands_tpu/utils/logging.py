@@ -45,3 +45,24 @@ class RunLogger:
     def scalar(self, tag: str, value: float, step: int):
         if self._tb is not None:
             self._tb.add_scalar(tag, value, step)
+
+    def log_run_config(self, cfg, net=None):
+        """Record the full config tree (and optionally the model definition)
+        in the run dir — the reference logs the model source on fresh runs
+        (``utils/logger.py:27-31,52-53``) so a run is reproducible from its
+        directory alone."""
+        import dataclasses
+        import json
+
+        def as_dict(obj):
+            if dataclasses.is_dataclass(obj):
+                return {f.name: as_dict(getattr(obj, f.name))
+                        for f in dataclasses.fields(obj)}
+            return obj
+
+        with open(os.path.join(self.run_dir, "config.json"), "w") as f:
+            json.dump(as_dict(cfg), f, indent=2, default=str)
+        if net is not None:
+            with open(os.path.join(self.run_dir, "model.txt"), "w") as f:
+                f.write(repr(net))
+        self.info(f"run config recorded in {self.run_dir}/config.json")
