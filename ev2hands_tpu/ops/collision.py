@@ -84,12 +84,30 @@ def find_collision_pairs(
     # depth == 0 happens for touching boxes AND for overlapping boxes with a
     # zero-thickness axis (axis-aligned triangles) — keep them; the exact SAT
     # narrow phase below rejects the false positives.
-    score = jnp.where(iu & ~adjacency & (depth >= 0), depth, -jnp.inf)
+    # Finite sentinel (not -inf) so the row-extraction matmul below stays
+    # NaN-free (0 * -inf would poison it).
+    NEG = jnp.float32(-1e30)
+    score = jnp.where(iu & ~adjacency & (depth >= 0), depth, NEG)
 
-    flat = score.reshape(-1)
-    top, idx = jax.lax.top_k(flat, max_pairs)
-    pairs = jnp.stack([idx // T, idx % T], axis=-1).astype(jnp.int32)
-    candidate = top > -jnp.inf
+    # Exact two-stage top-k: a single top_k over all T^2 scores dominated the
+    # whole training step (~40 ms of a 110 ms step at B=8 — top_k over 9.5M
+    # elements per sample). Instead select the top 2*max_pairs rows by their
+    # row max — any pair in the global top-max_pairs lives in a row whose max
+    # is >= the cutoff, and at most max_pairs (+ties) rows can satisfy that —
+    # then run the small top_k over just those rows. Provably the same pair
+    # set (up to ties at the cutoff), ~12x less data through top_k.
+    R = min(2 * max_pairs, T)
+    row_best = jnp.max(score, axis=1)                      # [T]
+    _, top_rows = jax.lax.top_k(row_best, R)               # [R]
+    # row extraction as a one-hot matmul (MXU) — lane gathers are slow here
+    onehot = jax.nn.one_hot(top_rows, T, dtype=score.dtype)
+    sub = jnp.dot(onehot, score,
+                  precision=jax.lax.Precision.HIGHEST)     # [R, T]
+    top, idx = jax.lax.top_k(sub.reshape(-1), max_pairs)
+    pairs = jnp.stack(
+        [top_rows[idx // T], idx % T], axis=-1
+    ).astype(jnp.int32)
+    candidate = top > NEG * 0.5
 
     tri_a = triangles[pairs[:, 0]]
     tri_b = triangles[pairs[:, 1]]

@@ -135,3 +135,63 @@ def test_adjacency_mask():
     adj = build_adjacency_mask(faces)
     assert adj[0, 0] and adj[0, 1] and adj[1, 0]  # share vertex 2
     assert not adj[0, 2] and not adj[1, 2]
+
+
+def test_two_stage_topk_matches_bruteforce(rng):
+    """The broad phase's two-stage row-max selection must return the same
+    intersecting-pair set as a brute-force all-pairs SAT, even with many
+    candidates clustered in few rows (the adversarial case for row-based
+    pruning)."""
+    from ev2hands_tpu.ops.collision import find_collision_pairs, tri_tri_intersect
+
+    # a dense cluster of overlapping triangles plus far-away isolated ones
+    T = 64
+    centers = np.concatenate([
+        rng.randn(16, 3) * 0.01,          # tight cluster: many overlaps
+        rng.randn(T - 16, 3) * 10.0,      # scattered: few overlaps
+    ])
+    tris = jnp.asarray(
+        centers[:, None, :] + rng.randn(T, 3, 3) * 0.05, jnp.float32
+    )
+    adjacency = jnp.zeros((T, T), bool)
+
+    cp = find_collision_pairs(tris, adjacency, max_pairs=128)
+    got = {
+        (int(a), int(b))
+        for (a, b), hit in zip(np.asarray(cp.pairs), np.asarray(cp.intersecting))
+        if hit
+    }
+
+    ref = set()
+    tn = np.asarray(tris)
+    for a in range(T):
+        for b in range(a + 1, T):
+            if bool(tri_tri_intersect(tris[a], tris[b])):
+                ref.add((a, b))
+    # capacity is ample here, so the sets must match exactly
+    assert len(ref) <= 128
+    assert got == ref
+
+    # and with R = 2*max_pairs < T, so the row pruning actually engages:
+    # scattered triangles, few overlaps, capacity ample
+    T2 = 256
+    centers2 = rng.randn(T2, 3) * 1.2
+    tris2 = jnp.asarray(
+        centers2[:, None, :] + rng.randn(T2, 3, 3) * 0.08, jnp.float32
+    )
+    cp2 = find_collision_pairs(tris2, jnp.zeros((T2, T2), bool), max_pairs=64)
+    got2 = {
+        (int(a), int(b))
+        for (a, b), hit in zip(np.asarray(cp2.pairs), np.asarray(cp2.intersecting))
+        if hit
+    }
+    ref2 = set()
+    for a in range(T2):
+        ta = tris2[a]
+        hits = np.asarray(tri_tri_intersect(
+            jnp.broadcast_to(ta, (T2, 3, 3)), tris2))
+        for b in range(a + 1, T2):
+            if hits[b]:
+                ref2.add((a, b))
+    assert len(ref2) <= 64, "fixture produced too many overlaps"
+    assert got2 == ref2
