@@ -120,7 +120,10 @@ def measure_ours(batch_size=32, iters=20, n_points=2048):
     labels = rng.randint(0, 4, (batch_size, n_points)).astype(np.int32)
     raw, labels = jnp.asarray(raw), jnp.asarray(labels)
 
-    jax.device_get(fn(variables, raw, labels, jax.random.PRNGKey(1)))  # compile
+    # two warm calls: the first execution of a freshly-loaded program carries
+    # a one-time ~40 ms load cost on this platform (see utils/profiling.py)
+    jax.device_get(fn(variables, raw, labels, jax.random.PRNGKey(1)))
+    jax.device_get(fn(variables, raw, labels, jax.random.PRNGKey(3)))
     t0 = time.perf_counter()
     jax.device_get(fn(variables, raw, labels, jax.random.PRNGKey(2)))
     dt = time.perf_counter() - t0
@@ -181,6 +184,7 @@ def measure_train_step(batch_size=8, iters=10, n_points=2048):
 
     fn = jax.jit(looped)
     jax.device_get(fn(state, jax.random.PRNGKey(1)))  # compile
+    jax.device_get(fn(state, jax.random.PRNGKey(3)))  # warm the loaded program
     t0 = time.perf_counter()
     jax.device_get(fn(state, jax.random.PRNGKey(2)))
     dt = time.perf_counter() - t0

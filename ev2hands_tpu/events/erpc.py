@@ -61,6 +61,12 @@ def rasterize_erpc(
     Returns (feats [P, 5], pixel_labels [P], n_valid scalar int32): up to
     P = max_pixels nonzero pixels in row-major (y, x) order, padded with
     zeros. Padded/invalid events are routed to a dummy pixel and dropped.
+
+    Implementation: the window holds N events, so at most N pixels are ever
+    occupied — all work is kept O(N log N) by sorting the events by pixel id
+    and aggregating pixel *runs* with sorted ``segment_sum``. (An earlier
+    formulation scattered into the full width*height grid and ``top_k``'d the
+    ~90k pixel scores; the grid work dominated the whole ERPC transform.)
     """
     N = events.shape[0]
     P = max_pixels or N
@@ -72,38 +78,53 @@ def rasterize_erpc(
     p = events[:, 3]
     pix = y * width + x  # row-major pixel id
     if event_valid is not None:
-        pix = jnp.where(event_valid, pix, num_pixels)  # dummy bucket
+        pix = jnp.where(event_valid, pix, num_pixels)  # dummy bucket, sorts last
 
-    nseg = num_pixels + 1
-    ones = jnp.ones_like(t)
-    t_sum = jax.ops.segment_sum(t, pix, num_segments=nseg)
-    pos = jax.ops.segment_sum((p == 1).astype(jnp.float32), pix, num_segments=nseg)
-    neg = jax.ops.segment_sum((p != 1).astype(jnp.float32), pix, num_segments=nseg)
-    cnt = jax.ops.segment_sum(ones, pix, num_segments=nseg)
-    lab = jax.ops.segment_max(labels, pix, num_segments=nseg)
-    cnt = cnt.at[num_pixels].set(0.0)  # dummy bucket never counts as occupied
+    pos = (p == 1).astype(jnp.float32)
+    neg = (p != 1).astype(jnp.float32)
+    pix_s, t_s, pos_s, neg_s, lab_s = jax.lax.sort(
+        (pix, t, pos, neg, labels), num_keys=1
+    )
 
-    # Nonzero pixels in ascending row-major order, static bound P.
-    occupied = cnt[:num_pixels] > 0
-    scores = jnp.where(occupied, jnp.arange(num_pixels, dtype=jnp.int32), num_pixels)
-    neg_topk, _ = jax.lax.top_k(-scores, P)
-    pid = -neg_topk  # ascending pixel ids, padded with num_pixels
-    valid = pid < num_pixels
-    pid_safe = jnp.minimum(pid, num_pixels - 1)
+    # Run boundaries -> dense segment ids in ascending pixel-id order; ids
+    # beyond P (possible only when max_pixels < #distinct pixels) are dropped
+    # by segment_sum, keeping the first P pixels in row-major order exactly
+    # like the reference's np.nonzero slice.
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]]
+    )
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1  # [N] in [0, N)
 
-    t_avg_ms = (t_sum[pid_safe] / jnp.maximum(cnt[pid_safe], 1.0)) * time_scale
+    seg = partial(
+        jax.ops.segment_sum, segment_ids=seg_id, num_segments=P,
+        indices_are_sorted=True,
+    )
+    t_sum = seg(t_s)
+    pos_sum = seg(pos_s)
+    neg_sum = seg(neg_s)
+    cnt = seg(jnp.ones_like(t_s))
+    lab = jax.ops.segment_max(
+        lab_s, seg_id, num_segments=P, indices_are_sorted=True
+    )
+    pid = jax.ops.segment_max(
+        pix_s, seg_id, num_segments=P, indices_are_sorted=True
+    )
+
+    valid = (cnt > 0) & (pid < num_pixels)
+    pid_safe = jnp.clip(pid, 0, num_pixels - 1)
+    t_avg_ms = (t_sum / jnp.maximum(cnt, 1.0)) * time_scale
     feats = jnp.stack(
         [
             (pid_safe % width).astype(jnp.float32),
             (pid_safe // width).astype(jnp.float32),
             t_avg_ms,
-            pos[pid_safe],
-            neg[pid_safe],
+            pos_sum,
+            neg_sum,
         ],
         axis=-1,
     )
     feats = jnp.where(valid[:, None], feats, 0.0)
-    pixel_labels = jnp.where(valid, lab[pid_safe], 0).astype(jnp.int32)
+    pixel_labels = jnp.where(valid, lab, 0).astype(jnp.int32)
     n_valid = jnp.sum(valid.astype(jnp.int32))
     return feats, pixel_labels, n_valid
 

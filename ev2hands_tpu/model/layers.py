@@ -96,8 +96,22 @@ class SetAbstractionMsg(nn.Module):
             use_dense and self.event_mesh is not None
             and not self.is_initializing()
         )
+        sqrdists = None
+        perm = xyz_p = points_p = None
         if use_dense and not use_event:
             sqrdists = square_distance(new_xyz, xyz)  # [B, S, N] shared
+            if any(
+                self._use_pallas_scale(i, xyz.shape[1])
+                for i in range(len(self.radius_list))
+            ):
+                # Morton-order the points ONCE, shared by every sparse-kernel
+                # scale: spatial locality is what lets the kernel skip point
+                # tiles with no selected neighbor (see pallas_grouping.py).
+                from ev2hands_tpu.ops.pallas_grouping import morton_perm
+
+                perm = morton_perm(xyz)
+                xyz_p = jnp.take_along_axis(xyz, perm[..., None], axis=1)
+                points_p = jnp.take_along_axis(points, perm[..., None], axis=1)
 
         outs = []
         for i, radius in enumerate(self.radius_list):
@@ -111,7 +125,10 @@ class SetAbstractionMsg(nn.Module):
             if use_dense:
                 if self._use_pallas_scale(i, xyz.shape[1]):
                     outs.append(
-                        self._pallas_scale(i, xyz, points, new_xyz, radius, k)
+                        self._pallas_scale(
+                            i, xyz, new_xyz, radius, k,
+                            sqrdists, perm, xyz_p, points_p,
+                        )
                     )
                     continue
                 outs.append(
@@ -137,11 +154,14 @@ class SetAbstractionMsg(nn.Module):
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
     def _use_pallas_scale(self, i: int, n_points: int) -> bool:
-        """Gate for the fused Pallas grouping kernel: only where it measured
-        faster than the XLA dense path on TPU v5e — large pair counts with a
-        wide conv chain (TEHNet sa1 scales 2-3: 24 -> 20 ms each at B=32).
-        Narrow scales (scale 1: XLA 7 ms vs kernel 20 ms floor) and the
-        regressor scales (tie) keep the XLA path."""
+        """Gate for the block-sparse Pallas grouping kernel
+        (``dense_msg_scale_pallas_sparse``): big 3-layer dense-eval scales on
+        TPU (the sa1 scales, S*N >= 512*2048). Honest device timings at B=32
+        (key-perturbed inputs — XLA hoists loop-invariant work out of naive
+        timing scans): sparse(nb=256) 19.8 ms vs p2d 24.4 ms vs XLA dense
+        28.5 ms per sa1 scale, prep included. Smaller scales (sa2, the
+        regressors) measured better on the in-model XLA dense path, which
+        shares one sqrdists tensor across scales."""
         if not self.pallas_grouping or self.is_initializing():
             return False
         import jax as _jax
@@ -149,24 +169,27 @@ class SetAbstractionMsg(nn.Module):
         if _jax.default_backend() != "tpu":
             return False
         mlp = self.mlps[i]
-        pair_flops = mlp[0] * mlp[1] + mlp[1] * mlp[2] if len(mlp) == 3 else 0
         return (
-            n_points * self.npoint >= 512 * 2048
-            and pair_flops >= 8000
-            and len(mlp) == 3
-            and n_points % 128 == 0   # sel block last-dim constraint
-            and self.npoint % 8 == 0  # sb divisibility
+            len(mlp) == 3
+            and n_points % 256 == 0       # point-tile divisibility
+            and self.npoint % 8 == 0      # sb divisibility
+            and n_points * self.npoint >= 512 * 2048
         )
 
-    def _pallas_scale(self, i, xyz, points, new_xyz, radius, k):
-        """One scale through the fused Pallas kernel (2-D per-centroid
-        tiles): BN folds into the layer weights; the selection mask is
-        precomputed in XLA. Bitwise-matched the XLA dense path on-device
-        (see ops/pallas_grouping.py)."""
+    def _pallas_scale(self, i, xyz, new_xyz, radius, k, sqrdists,
+                      perm, xyz_p, points_p):
+        """One scale through the block-sparse Pallas kernel: BN folds into
+        the layer weights, points ride in shared Morton order (``perm``), the
+        exact first-K-by-original-index selection mask is computed in XLA
+        from the shared ``sqrdists`` and column-permuted, and the kernel
+        skips point tiles with no selected neighbor. Bitwise-matches the XLA
+        dense path on-device (see ops/pallas_grouping.py)."""
         from ev2hands_tpu.ops.pallas_grouping import (
-            dense_msg_scale_pallas_2d,
+            dense_msg_scale_pallas_sparse,
             dense_selection_mask,
             fold_scale_params,
+            permute_columns,
+            tile_activity,
         )
 
         p = self.variables["params"]
@@ -175,9 +198,13 @@ class SetAbstractionMsg(nn.Module):
         bn_params = [
             {**p[f"bn_{i}_{j}"], **bs[f"bn_{i}_{j}"]} for j in range(3)
         ]
-        folded = fold_scale_params(points, xyz, new_xyz, conv_params, bn_params)
-        sel = dense_selection_mask(xyz, new_xyz, radius, k)
-        return dense_msg_scale_pallas_2d(folded, sel, sb=8)
+        folded = fold_scale_params(
+            points_p, xyz_p, new_xyz, conv_params, bn_params
+        )
+        sel = dense_selection_mask(xyz, new_xyz, radius, k, sqrdists=sqrdists)
+        sel_p = permute_columns(sel, perm)
+        act = tile_activity(sel_p, 256)
+        return dense_msg_scale_pallas_sparse(folded, sel_p, act, sb=8, nb=256)
 
     def _event_scale(self, i, xyz, points, new_xyz, radius, k):
         """Dense scale with the event axis sharded over ``self.event_mesh``:

@@ -60,6 +60,7 @@ class ManoRegressor(nn.Module):
     dropout: float = 0.3
     grouping: str = "dense"
     event_mesh: Optional[object] = None
+    pallas_grouping: bool = True
 
     @nn.compact
     def __call__(
@@ -77,6 +78,7 @@ class ManoRegressor(nn.Module):
             grouping=self.grouping,
             dense_chunk=32,
             event_mesh=self.event_mesh,
+            pallas_grouping=self.pallas_grouping,
             name="sa1",
         )(xyz, features, train, fps_key)
         _, l2_points = SetAbstractionAll(mlp=(256, 512), name="sa2")(
@@ -199,12 +201,12 @@ class TEHNet(nn.Module):
         else:
             left = ManoRegressor(
                 dropout=cfg.dropout_regressor, grouping=cfg.grouping,
-                event_mesh=emesh,
+                event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
                 name="left_mano_regressor",
             )(l0_xyz, left_features, train, keys[2])
             right = ManoRegressor(
                 dropout=cfg.dropout_regressor, grouping=cfg.grouping,
-                event_mesh=emesh,
+                event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
                 name="right_mano_regressor",
             )(l0_xyz, right_features, train, keys[3])
 

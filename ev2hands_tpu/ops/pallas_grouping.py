@@ -1,22 +1,36 @@
 """Fused Pallas kernels for dense multi-scale grouping.
 
-PRODUCTION (v2, ``dense_msg_scale_pallas_2d``): strictly 2-D per-centroid
-tiles — wired into ``SetAbstractionMsg`` for the scales where it measured
-faster than the XLA dense path (TEHNet sa1 scales 2-3 on v5e: 24 -> 20 ms
-each at B=32; full pipeline 315 -> 350 windows/s).  v1's diagnosed wall was
-Mosaic's 3-D elementwise broadcast/mask/max lowering; v2 never creates a
-3-D tensor: per centroid, subtract/relu is a [N, C] VPU op, the conv chain
-is two [N, C] @ [C, C'] MXU dots, and the masked pool is a 2-D row max.
-The selection mask (first-K-in-radius + point-0 fallback) is precomputed in
-XLA (``dense_selection_mask``) — one cheap d2 matmul + cumsum.
+PRODUCTION (v4, ``dense_msg_scale_pallas_sparse``): v2's 2-D per-centroid
+tiles + Morton-ordered points + per-(centroid, tile) activity skip — wired
+into ``SetAbstractionMsg`` for the big sa1 scales (S*N >= 512*2048). The
+point cloud is spatially sorted once per layer (``morton_perm`` — a packed
+single-key sort; multi-operand ``lax.sort`` measured ~20x slower on TPU), the
+exact first-K-by-ORIGINAL-index selection mask is computed in XLA and
+column-permuted (a 0/1 one-hot MXU contraction — exact in bf16), and the
+kernel skips point tiles holding no selected neighbor. The masked max is
+order-invariant, so the permutation never changes the pooled value.
 
-Measured (device-timed scan, B=32, N=2048, S=512):
-  sa1 scale3 (64/96/128): v2 19.8 ms vs XLA 23.8 ms  (1.20x)
-  sa1 scale2 (64/64/128): v2 19.9 ms vs XLA 23.9 ms  (1.20x)
-  sa1 scale1 (32/32/64):  v2 20.1 ms vs XLA  7.1 ms  (0.36x — XLA kept)
-  regressor scales (128/*/256, S=128): tie (1.01-1.02x — XLA kept)
-  v3 (scratch assembly + one big dot per layer): 23-28 ms — the VMEM
-  store/load roundtrip costs more than v2's small-dot issue overhead.
+MEASUREMENT METHODOLOGY (hard-won): time with key-perturbed inputs inside
+the scan, or XLA hoists the whole loop-invariant computation out of the
+timing loop and every kernel reads back as a fake ~5 ms. Honest numbers,
+B=32, N=2048, S=512, sa1 scale2, prep included:
+  sparse(nb=256) 19.8 ms | sparse(nb=128) 24.2 | v2 24.4 | XLA dense 28.5
+In-model (the only fully trustworthy metric): full inference pipeline
+86.2 -> 79.8 ms/batch (371 -> 401 windows/s) switching the three sa1
+scales from {XLA, v2, v2} to sparse. Regressor scales (S=128) and sa2
+measured FASTER on the in-model XLA dense path (shared sqrdists; an
+all-Pallas config regressed the pipeline to 98 ms) — they keep XLA.
+The chain is per-dot-issue-bound (time invariant to channel width), which
+is why nb=128's finer skip granularity loses: more, smaller dots.
+
+v3 (scratch assembly + one big dot per layer): 23-28 ms — the VMEM
+store/load roundtrip costs more than v2's small-dot issue overhead.
+v5 (``fused_msg_scale_pallas``): computes distances + rank fully in-kernel
+(no [B, S, N] tensors at all) — honest-timed at parity with v2 (24.1 ms);
+kept as the cleanest no-prep variant and for shapes where the XLA-side
+selection chain would dominate. Its in-kernel rank runs in point order, so
+it cannot ride the Morton permutation (rank must follow ORIGINAL indices
+for reference parity) — that is exactly what v4's XLA-side mask solves.
 
 The v1 kernel below (3-D tiles, in-kernel rank) is kept as the documented
 exploration that motivated v2. HISTORICAL NOTE for v1:
@@ -261,13 +275,16 @@ def _kernel_2d(
 
 
 def dense_selection_mask(
-    xyz: jax.Array, new_xyz: jax.Array, radius: float, nsample: int
+    xyz: jax.Array, new_xyz: jax.Array, radius: float, nsample: int,
+    sqrdists: jax.Array = None,
 ) -> jax.Array:
     """[B, S, N] float32 mask: first ``nsample`` in-radius points by index,
     with the reference's point-0 fallback for empty neighborhoods.  Cheap
-    XLA work (one d2 matmul + cumsum) done outside the Pallas kernel."""
+    XLA work (one d2 matmul + cumsum) done outside the Pallas kernel.
+    Pass ``sqrdists`` to reuse an already-computed [B, S, N] distance
+    tensor (SetAbstractionMsg shares one across its scales)."""
     hi = jax.lax.Precision.HIGHEST
-    d2 = (
+    d2 = sqrdists if sqrdists is not None else (
         jnp.sum(new_xyz**2, -1)[:, :, None]
         + jnp.sum(xyz**2, -1)[:, None, :]
         - 2.0 * jnp.einsum("bsc,bnc->bsn", new_xyz, xyz, precision=hi)
@@ -313,6 +330,300 @@ def dense_msg_scale_pallas_2d(
         out_shape=jax.ShapeDtypeStruct((B, S, C3), jnp.float32),
         interpret=interpret,
     )(folded.u, folded.v, sel, folded.W2, folded.b2, folded.W3, folded.b3)
+
+
+# ---------------------------------------------------------------------------
+# v5 (PRODUCTION): fully fused — selection computed IN the kernel
+# ---------------------------------------------------------------------------
+
+def _kernel_fused(
+    xyzT_ref,    # [1, 3, N]  point coords, transposed (lane-oriented)
+    cxyz_ref,    # [1, sb, 3] centroid coords
+    u_ref,       # [1, N, C1] per-point first layer (BN-folded)
+    v_ref,       # [1, sb, C1]
+    W2_ref, b2_ref, W3_ref, b3_ref,
+    out_ref,     # [1, sb, C3]
+    *,
+    radius: float,
+    nsample: int,
+    nb: int,
+):
+    """One (batch, centroid-block) grid step of the fully fused scale.
+
+    Ablations showed the v2 kernel itself costs ~5 ms but its XLA-side feed
+    (pairwise distances -> mask -> lane cumsum -> [B, S, N] selection tensor)
+    costs another ~15 ms per scale in HBM-materialized intermediates. v5
+    moves that selection INSIDE the kernel: per point tile, squared distances
+    and the first-``nsample``-by-index rank are tiny 2-D [sb, nb] VPU/MXU ops
+    (inclusive prefix count via a triangular matmul — Mosaic has no cumsum),
+    and the conv chain stays v2's per-centroid 2-D [nb, C] form. Only xyz, u,
+    v, the weights, and the [S, C3] result ever touch HBM.
+    """
+    sb = v_ref.shape[1]
+    N = u_ref.shape[1]
+    C3 = out_ref.shape[2]
+    nt = N // nb
+    r2 = radius * radius
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    tri = (rows <= cols).astype(jnp.float32)
+
+    cx = cxyz_ref[0, :, 0][:, None]  # [sb, 1]
+    cy = cxyz_ref[0, :, 1][:, None]
+    cz = cxyz_ref[0, :, 2][:, None]
+
+    for j in range(sb):
+        out_ref[0, j, :] = jnp.full((C3,), -jnp.inf, jnp.float32)
+
+    def body(ti, counts):
+        x = xyzT_ref[0, 0, pl.ds(ti * nb, nb)][None, :]   # [1, nb]
+        y = xyzT_ref[0, 1, pl.ds(ti * nb, nb)][None, :]
+        z_ = xyzT_ref[0, 2, pl.ds(ti * nb, nb)][None, :]
+        # exact f32 distances on the VPU (an MXU dot could flip the boundary)
+        d2 = (cx - x) ** 2 + (cy - y) ** 2 + (cz - z_) ** 2   # [sb, nb]
+        maskf = (d2 <= r2).astype(jnp.float32)
+
+        inc = jnp.dot(maskf, tri, preferred_element_type=jnp.float32)
+        rank = counts + inc - maskf                           # exclusive
+        sel = maskf * (rank < nsample).astype(jnp.float32)    # [sb, nb]
+        counts = counts + inc[:, -1:]
+
+        u = u_ref[0, pl.ds(ti * nb, nb), :]                   # [nb, C1]
+        for j in range(sb):
+            zj = jax.nn.relu(u - v_ref[0, j, :][None, :])
+            h = jax.nn.relu(
+                jnp.dot(zj, W2_ref[...], preferred_element_type=jnp.float32)
+                + b2_ref[...]
+            )
+            h = jax.nn.relu(
+                jnp.dot(h, W3_ref[...], preferred_element_type=jnp.float32)
+                + b3_ref[...]
+            )                                                  # [nb, C3]
+            m = sel[j, :][:, None]                             # [nb, 1]
+            tile_max = jnp.max(h + (m - 1.0) * 1e30, axis=0)
+            out_ref[0, j, :] = jnp.maximum(out_ref[0, j, :], tile_max)
+
+        return counts
+
+    counts = jax.lax.fori_loop(
+        0, nt, body, jnp.zeros((sb, 1), jnp.float32)
+    )
+
+    # Reference fallback for an empty neighborhood: point 0's features
+    # (clamped index semantics, pointnet2_utils.py:100-106). Cheap 8-row
+    # chain on the first u rows; row 0 is the real point 0.
+    u0 = u_ref[0, 0:8, :]
+    for j in range(sb):
+        z0 = jax.nn.relu(u0 - v_ref[0, j, :][None, :])
+        h0 = jax.nn.relu(
+            jnp.dot(z0, W2_ref[...], preferred_element_type=jnp.float32)
+            + b2_ref[...]
+        )
+        h0 = jax.nn.relu(
+            jnp.dot(h0, W3_ref[...], preferred_element_type=jnp.float32)
+            + b3_ref[...]
+        )
+        # jnp.where, NOT an arithmetic blend: the accumulator can be -inf
+        # when nothing was selected and 0 * -inf would poison the result
+        out_ref[0, j, :] = jnp.where(
+            counts[j, 0] == 0.0, h0[0, :], out_ref[0, j, :]
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "nsample", "sb", "nb", "interpret")
+)
+def fused_msg_scale_pallas(
+    xyz: jax.Array,       # [B, N, 3]
+    new_xyz: jax.Array,   # [B, S, 3]
+    folded: FoldedScale,
+    radius: float,
+    nsample: int,
+    sb: int = 8,
+    nb: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> [B, S, C3] pooled features for one scale, selection fused in-kernel.
+
+    Exact semantics of the XLA dense path / reference gather formulation:
+    first ``nsample`` in-radius points by (original) index, point-0 fallback
+    for empty neighborhoods, masked max over the neighborhood.
+    """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    C1 = folded.u.shape[-1]
+    C2 = folded.W2.shape[-1]
+    C3 = folded.W3.shape[-1]
+    assert S % sb == 0 and N % nb == 0, (S, sb, N, nb)
+
+    xyzT = jnp.swapaxes(xyz, 1, 2)  # [B, 3, N]
+
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_fused, radius=radius, nsample=nsample, nb=nb
+        ),
+        grid=(B, S // sb),
+        in_specs=[
+            pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, sb, 3), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((1, N, C1), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, sb, C1), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((C1, C2), lambda b, s: (0, 0)),
+            pl.BlockSpec((C2,), lambda b, s: (0,)),
+            pl.BlockSpec((C2, C3), lambda b, s: (0, 0)),
+            pl.BlockSpec((C3,), lambda b, s: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, sb, C3), lambda b, s: (b, s, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, C3), jnp.float32),
+        interpret=interpret,
+    )(xyzT, new_xyz, folded.u, folded.v, folded.W2, folded.b2, folded.W3,
+      folded.b3)
+
+
+# ---------------------------------------------------------------------------
+# v4: block-sparse 2-D tiles — skip point tiles with no selected neighbor
+# ---------------------------------------------------------------------------
+
+def morton_perm(xyz: jax.Array, bits: int = 6) -> jax.Array:
+    """[B, N, 3] coordinates (≈[-1, 1]) -> [B, N] int32 permutation that
+    orders points along a 3-D Morton (Z-order) curve.
+
+    Spatial sorting is what makes the sparse grouping kernel work: a radius
+    ball touches only a handful of Morton-contiguous tiles, so per-tile
+    activity bits skip most of the dense pair work. ``bits`` per axis is
+    deliberately small (64 cells/axis) so the packed sort key — (morton << 11)
+    | index — fits int32; finer resolution than the ~128-point tile size buys
+    nothing. The packed single-key sort matters: a multi-operand
+    ``jax.lax.sort`` measured ~20x slower than a single int32 sort on TPU.
+    """
+    N = xyz.shape[-2]
+    assert N <= 2048, "packed morton key reserves 11 bits for the index"
+    hi = (1 << bits) - 1
+    q = jnp.clip(((xyz + 1.0) * (0.5 * hi)).astype(jnp.int32), 0, hi)
+
+    def spread(v):  # insert two zero bits between each of the low 8+ bits
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    key = (
+        spread(q[..., 0]) | (spread(q[..., 1]) << 1) | (spread(q[..., 2]) << 2)
+    )  # [B, N] — 3*bits <= 18 bits
+    packed = (key << 11) | jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+    return (jnp.sort(packed, axis=-1) & 0x7FF).astype(jnp.int32)
+
+
+def permute_columns(sel: jax.Array, perm: jax.Array) -> jax.Array:
+    """sel [B, S, N] 0/1 float, perm [B, N] -> sel[:, :, perm] via a one-hot
+    MXU contraction (exact for 0/1 values in any matmul precision; a lane-axis
+    gather here is the slow path on TPU)."""
+    P = jax.nn.one_hot(perm, sel.shape[-1], dtype=sel.dtype)  # [B, M, N]
+    return jnp.einsum("bsn,bmn->bsm", sel, P)
+
+
+def tile_activity(sel_p: jax.Array, nb: int) -> jax.Array:
+    """sel_p [B, S, N] (columns in Morton order) -> [B, S, N//nb] int32: 1
+    where the nb-point tile holds at least one selected neighbor."""
+    B, S, N = sel_p.shape
+    return (
+        sel_p.reshape(B, S, N // nb, nb).max(axis=-1) > 0.5
+    ).astype(jnp.int32)
+
+
+def _kernel_2d_sparse(
+    act_ref,     # [1, sb, nt] int32 activity (SMEM scalars)
+    u_ref,       # [1, N, C1]  per-point first layer, Morton-ordered rows
+    v_ref,       # [1, sb, C1]
+    sel_ref,     # [1, sb, N] float32 selection mask, Morton-ordered columns
+    W2_ref, b2_ref, W3_ref, b3_ref,
+    out_ref,     # [1, sb, C3]
+    *,
+    nb: int,
+):
+    """v2's per-centroid 2-D chain, restricted to *active* nb-point tiles.
+
+    The conv chain is FLOP-bound (time ~ pair count), and with Morton-ordered
+    points each centroid's selected neighbors live in a few contiguous tiles,
+    so the ``pl.when``-guarded tile loop skips most of the [N, C] work that
+    v2 (and the XLA dense path) always executes."""
+    sb = v_ref.shape[1]
+    nt = u_ref.shape[1] // nb
+    C3 = out_ref.shape[2]
+
+    for j in range(sb):                    # static unroll over centroids
+        out_ref[0, j, :] = jnp.full((C3,), -1e30, jnp.float32)
+
+        def body(ti, _, j=j):
+            @pl.when(act_ref[0, j, ti] > 0)
+            def _():
+                u = u_ref[0, pl.ds(ti * nb, nb), :]            # [nb, C1]
+                z = jax.nn.relu(u - v_ref[0, j, :][None, :])
+                h = jax.nn.relu(
+                    jnp.dot(z, W2_ref[...],
+                            preferred_element_type=jnp.float32)
+                    + b2_ref[...]
+                )
+                h = jax.nn.relu(
+                    jnp.dot(h, W3_ref[...],
+                            preferred_element_type=jnp.float32)
+                    + b3_ref[...]
+                )                                               # [nb, C3]
+                m = sel_ref[0, j, pl.ds(ti * nb, nb)][:, None]  # [nb, 1]
+                tile_max = jnp.max(h + (m - 1.0) * 1e30, axis=0)
+                out_ref[0, j, :] = jnp.maximum(out_ref[0, j, :], tile_max)
+
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sb", "nb", "interpret"))
+def dense_msg_scale_pallas_sparse(
+    folded: FoldedScale,   # u rows already in Morton order
+    sel_p: jax.Array,      # [B, S, N] from permute_columns(dense_selection_mask)
+    act: jax.Array,        # [B, S, N//nb] from tile_activity
+    sb: int = 8,
+    nb: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> [B, S, C3] pooled features for one scale (block-sparse tiles).
+
+    Numerics are identical to ``dense_msg_scale_pallas_2d`` (and the XLA
+    dense path): skipped tiles contain no selected neighbor, and the masked
+    max over the remaining tiles is order-invariant, so the Morton
+    permutation of the point axis never changes the pooled value.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C1 = folded.u.shape
+    S = folded.v.shape[1]
+    C2 = folded.W2.shape[-1]
+    C3 = folded.W3.shape[-1]
+    assert S % sb == 0 and N % nb == 0, (S, sb, N, nb)
+    nt = N // nb
+
+    return pl.pallas_call(
+        functools.partial(_kernel_2d_sparse, nb=nb),
+        grid=(B, S // sb),
+        in_specs=[
+            pl.BlockSpec((1, sb, nt), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N, C1), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, sb, C1), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((1, sb, N), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((C1, C2), lambda b, s: (0, 0)),
+            pl.BlockSpec((C2,), lambda b, s: (0,)),
+            pl.BlockSpec((C2, C3), lambda b, s: (0, 0)),
+            pl.BlockSpec((C3,), lambda b, s: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, sb, C3), lambda b, s: (b, s, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, C3), jnp.float32),
+        interpret=interpret,
+    )(act, folded.u, folded.v, sel_p, folded.W2, folded.b2, folded.W3,
+      folded.b3)
 
 
 def _kernel_2d_batched(

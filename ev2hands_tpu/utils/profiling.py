@@ -49,9 +49,14 @@ def device_throughput(
         return acc
 
     jfn = jax.jit(run)
-    jax.device_get(jfn(key))  # compile + warm
-    t0 = time.perf_counter()
+    # Two warm calls: the first executes a freshly-loaded program, which on
+    # this platform carries a one-time ~40 ms load/link cost that a single
+    # warm-up did not hide (measured: the first *timed* stage of a process
+    # read ~45 ms regardless of content).
+    jax.device_get(jfn(key))
     jax.device_get(jfn(jax.random.fold_in(key, 1)))
+    t0 = time.perf_counter()
+    jax.device_get(jfn(jax.random.fold_in(key, 2)))
     return (time.perf_counter() - t0) / iters
 
 

@@ -141,3 +141,140 @@ def test_fused_grouping_kernel_2d_interpret(rng):
         h = jax.nn.relu(bn_eval(h @ cp["kernel"] + cp["bias"], bp))
     ref = h.max(axis=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def _random_scale_params(rng, d_in, widths=(16, 16, 32)):
+    conv, bn = [], []
+    last = d_in
+    for C in widths:
+        conv.append({
+            "kernel": jnp.asarray(rng.randn(last, C) * 0.2, jnp.float32),
+            "bias": jnp.asarray(rng.randn(C) * 0.1, jnp.float32),
+        })
+        bn.append({
+            "scale": jnp.asarray(1 + 0.1 * rng.randn(C), jnp.float32),
+            "bias": jnp.asarray(0.1 * rng.randn(C), jnp.float32),
+            "mean": jnp.asarray(0.1 * rng.randn(C), jnp.float32),
+            "var": jnp.asarray(np.abs(rng.randn(C)) + 0.5, jnp.float32),
+        })
+        last = C
+    return conv, bn
+
+
+def _gather_reference(xyz, feats, new_xyz, r, K, conv, bn):
+    from ev2hands_tpu.ops.pointnet import index_points, query_ball_point
+
+    def bn_eval(x, p):
+        return (x - p["mean"]) / jnp.sqrt(p["var"] + 1e-5) * p["scale"] + p["bias"]
+
+    idx = query_ball_point(r, K, xyz, new_xyz)
+    h = jnp.concatenate(
+        [index_points(feats, idx), index_points(xyz, idx) - new_xyz[:, :, None, :]],
+        -1,
+    )
+    for cp, bp in zip(conv, bn):
+        h = jax.nn.relu(bn_eval(h @ cp["kernel"] + cp["bias"], bp))
+    return h.max(axis=2)
+
+
+def test_morton_perm_is_spatial_permutation(rng):
+    from ev2hands_tpu.ops.pallas_grouping import morton_perm
+
+    B, N = 3, 256
+    xyz = jnp.asarray(np.clip(rng.randn(B, N, 3) * 0.4, -1, 1), jnp.float32)
+    perm = np.asarray(morton_perm(xyz))
+    for b in range(B):
+        assert np.array_equal(np.sort(perm[b]), np.arange(N))
+    # spatially sorted: consecutive points are closer on average than random
+    xp = np.take_along_axis(np.asarray(xyz), perm[..., None], axis=1)
+    d_sorted = np.linalg.norm(np.diff(xp, axis=1), axis=-1).mean()
+    d_orig = np.linalg.norm(np.diff(np.asarray(xyz), axis=1), axis=-1).mean()
+    assert d_sorted < 0.5 * d_orig
+
+
+def test_sparse_grouping_kernel_interpret(rng):
+    """PRODUCTION sparse kernel (wired into SetAbstractionMsg for the sa1
+    scales on TPU): Morton-ordered points, column-permuted selection mask,
+    per-tile activity skip — exact vs the gather reference, incl. the
+    point-0 fallback for an empty neighborhood."""
+    from ev2hands_tpu.ops.pallas_grouping import (
+        FoldedScale,
+        dense_msg_scale_pallas_sparse,
+        dense_selection_mask,
+        fold_scale_params,
+        morton_perm,
+        permute_columns,
+        tile_activity,
+    )
+
+    B, S, N, nb = 2, 32, 256, 32
+    xyz = jnp.asarray(np.clip(rng.randn(B, N, 3) * 0.4, -1, 1), jnp.float32)
+    feats = jnp.asarray(rng.randn(B, N, 5), jnp.float32)
+    new_xyz = xyz[:, :S]
+    # centroid 5 far away -> empty neighborhood -> point-0 fallback
+    new_xyz = new_xyz.at[:, 5, :].set(jnp.asarray([7.0, 7.0, 7.0]))
+    r, K = 0.3, 8
+    conv, bn = _random_scale_params(rng, 8)
+
+    perm = morton_perm(xyz)
+    xyz_p = jnp.take_along_axis(xyz, perm[..., None], axis=1)
+    feats_p = jnp.take_along_axis(feats, perm[..., None], axis=1)
+    folded = fold_scale_params(feats_p, xyz_p, new_xyz, conv, bn)
+    sel = dense_selection_mask(xyz, new_xyz, r, K)
+    sel_p = permute_columns(sel, perm)
+    act = tile_activity(sel_p, nb)
+    # sparsity is real on clustered clouds
+    assert float(jnp.mean(act.astype(jnp.float32))) < 0.9
+
+    got = dense_msg_scale_pallas_sparse(
+        folded, sel_p, act, sb=8, nb=nb, interpret=True
+    )
+    ref = _gather_reference(xyz, feats, new_xyz, r, K, conv, bn)
+    keep = np.asarray([s for s in range(S) if s != 5])
+    np.testing.assert_allclose(
+        np.asarray(got)[:, keep], np.asarray(ref)[:, keep], atol=2e-5
+    )
+    # empty neighborhood: the dense/sparse convention is the point-0 fallback
+    # (the gather path clamps differently; unreachable with FPS centroids)
+    pos0 = jnp.argmax(perm == 0, axis=1)  # point 0's Morton position, per b
+    u0 = jnp.take_along_axis(folded.u, pos0[:, None, None], axis=1)[:, 0, :]
+    h0 = jax.nn.relu(u0 - folded.v[:, 5, :])
+    h0 = jax.nn.relu(h0 @ folded.W2 + folded.b2)
+    h0 = jax.nn.relu(h0 @ folded.W3 + folded.b3)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, 5], np.asarray(h0), atol=2e-5
+    )
+
+
+def test_fused_selection_kernel_interpret(rng):
+    """v5 kernel (in-kernel distances + first-K-by-index rank, documented
+    exploration): exact vs the gather reference."""
+    from ev2hands_tpu.ops.pallas_grouping import (
+        fold_scale_params,
+        fused_msg_scale_pallas,
+    )
+
+    B, S, N = 2, 32, 256
+    xyz = jnp.asarray(np.clip(rng.randn(B, N, 3) * 0.4, -1, 1), jnp.float32)
+    feats = jnp.asarray(rng.randn(B, N, 5), jnp.float32)
+    new_xyz = xyz[:, :S]
+    new_xyz = new_xyz.at[:, 3, :].set(jnp.asarray([7.0, 7.0, 7.0]))
+    r, K = 0.3, 8
+    conv, bn = _random_scale_params(rng, 8)
+
+    folded = fold_scale_params(feats, xyz, new_xyz, conv, bn)
+    got = fused_msg_scale_pallas(
+        xyz, new_xyz, folded, r, K, sb=8, nb=64, interpret=True
+    )
+    ref = _gather_reference(xyz, feats, new_xyz, r, K, conv, bn)
+    keep = np.asarray([s for s in range(S) if s != 3])
+    np.testing.assert_allclose(
+        np.asarray(got)[:, keep], np.asarray(ref)[:, keep], atol=2e-5
+    )
+    # empty neighborhood -> point-0 fallback (dense-path convention)
+    h0 = jax.nn.relu(folded.u[:, 0, :] - folded.v[:, 3, :])
+    h0 = jax.nn.relu(h0 @ folded.W2 + folded.b2)
+    h0 = jax.nn.relu(h0 @ folded.W3 + folded.b3)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, 3], np.asarray(h0), atol=2e-5
+    )
