@@ -98,9 +98,11 @@ class SetAbstractionMsg(nn.Module):
         )
         sqrdists = None
         perm = xyz_p = points_p = None
-        if use_dense and not use_event:
-            sqrdists = square_distance(new_xyz, xyz)  # [B, S, N] shared
-            if any(
+        if not use_event:
+            # one [B, S, N] distance tensor shared by every scale (both the
+            # dense mask path and the gather-mode ball query consume it)
+            sqrdists = square_distance(new_xyz, xyz)
+            if use_dense and any(
                 self._use_pallas_scale(i, xyz.shape[1])
                 for i in range(len(self.radius_list))
             ):
@@ -138,7 +140,7 @@ class SetAbstractionMsg(nn.Module):
                 )
                 continue
 
-            idx = query_ball_point(radius, k, xyz, new_xyz)
+            idx = query_ball_point(radius, k, xyz, new_xyz, sqrdists=sqrdists)
             grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
             if points is not None:
                 grouped = jnp.concatenate(
