@@ -32,7 +32,13 @@ def analytic_flops_per_window(n_points=2048):
     than an order of magnitude (and cannot see Pallas kernels), so the MFU
     headline uses this count of the dominant matmul terms.
 
-    Channel spec mirrors model/tehnet.py (reference TEHNet.py:127-166)."""
+    Channel spec mirrors model/tehnet.py (reference TEHNet.py:127-166).
+
+    Note: the sa1 scales now run a block-sparse kernel that SKIPS point
+    tiles with no selected neighbor, so part of this dense count is never
+    executed — the MFU line is a dense-formulation-normalized throughput
+    metric (consistent across bench history), not a hardware-counter
+    utilization."""
     N = n_points
 
     def msg(S, n, d_in, scales):
@@ -99,9 +105,19 @@ def measure_ours(batch_size=32, iters=20, n_points=2048):
     # scalar: on the remote-tunnel platform, per-dispatch latency is tens of
     # ms and block_until_ready does not actually wait, so host-looped timing
     # measures the tunnel, not the chip.
+    #
+    # The raw events are perturbed per iteration with the scan key: XLA
+    # hoists loop-invariant computation out of the scan, so a constant input
+    # would let the deterministic ERPC rasterization stage run ONCE instead
+    # of per iteration, overstating throughput.
     def looped(variables, raw_events, raw_labels, key):
         def body(c, k):
-            out = pipeline(variables, raw_events, raw_labels, k)
+            # per-iteration polarity flip: keeps pixel geometry valid while
+            # making every rasterization operand key-dependent
+            flip = jax.random.bernoulli(k, 0.5, (raw_events.shape[0], 1))
+            p = raw_events[:, :, 3]
+            ev = raw_events.at[:, :, 3].set(jnp.where(flip, 1.0 - p, p))
+            out = pipeline(variables, ev, raw_labels, k)
             return c + out[1].sum(), None
 
         acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, iters))
@@ -176,7 +192,13 @@ def measure_train_step(batch_size=8, iters=10, n_points=2048):
 
     def looped(state, key):
         def body(s, k):
-            s2, losses = step(s, batch, k)
+            # key-perturb the raw events so the deterministic rasterization
+            # stage cannot be hoisted out of the scan (see measure_ours)
+            flip = jax.random.bernoulli(k, 0.5, (batch["events"].shape[0], 1))
+            p = batch["events"][:, :, 3]
+            b = dict(batch, events=batch["events"].at[:, :, 3].set(
+                jax.numpy.where(flip, 1.0 - p, p)))
+            s2, losses = step(s, b, k)
             return s2, losses["loss"]
 
         _, losses = jax.lax.scan(body, state, jax.random.split(key, iters))

@@ -80,11 +80,30 @@ def rasterize_erpc(
     if event_valid is not None:
         pix = jnp.where(event_valid, pix, num_pixels)  # dummy bucket, sorts last
 
-    pos = (p == 1).astype(jnp.float32)
-    neg = (p != 1).astype(jnp.float32)
-    pix_s, t_s, pos_s, neg_s, lab_s = jax.lax.sort(
-        (pix, t, pos, neg, labels), num_keys=1
-    )
+    # Packed single-key sort + one payload gather: pix rides the high bits,
+    # the event index the low bits (ties break by index == stable order). A
+    # multi-operand lax.sort carrying the payloads measured ~3.5x slower on
+    # TPU (7.0 vs 2.0 ms/batch at B=32, honest key-perturbed timing).
+    shift = 1
+    while shift < N:
+        shift *= 2
+    assert (num_pixels + 1) * shift < 2**31, (num_pixels, N)
+    packed = pix * shift + jax.lax.iota(jnp.int32, N)
+    spacked = jax.lax.sort(packed)
+    perm = spacked & (shift - 1)
+    pix_s = spacked // shift
+
+    payload = jnp.stack(
+        [
+            t,
+            (p == 1).astype(jnp.float32),
+            (p != 1).astype(jnp.float32),
+            labels.astype(jnp.float32),  # labels are tiny ints — exact in f32
+        ],
+        axis=-1,
+    )[perm]
+    t_s, pos_s, neg_s = payload[:, 0], payload[:, 1], payload[:, 2]
+    lab_s = payload[:, 3].astype(jnp.int32)
 
     # Run boundaries -> dense segment ids in ascending pixel-id order; ids
     # beyond P (possible only when max_pixels < #distinct pixels) are dropped

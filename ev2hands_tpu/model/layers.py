@@ -174,6 +174,7 @@ class SetAbstractionMsg(nn.Module):
         return (
             len(mlp) == 3
             and n_points % 256 == 0       # point-tile divisibility
+            and n_points <= 2048          # morton_perm's packed-key bound
             and self.npoint % 8 == 0      # sb divisibility
             and n_points * self.npoint >= 512 * 2048
         )
