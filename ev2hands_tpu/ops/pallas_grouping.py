@@ -4,7 +4,7 @@ PRODUCTION (v4, ``dense_msg_scale_pallas_sparse``): v2's 2-D per-centroid
 tiles + Morton-ordered points + per-(centroid, tile) activity skip — wired
 into ``SetAbstractionMsg`` for the big sa1 scales (S*N >= 512*2048). The
 point cloud is spatially sorted once per layer (``morton_perm`` — a packed
-single-key sort; multi-operand ``lax.sort`` measured ~20x slower on TPU), the
+single-key sort; multi-operand ``lax.sort`` measured ~3.5x slower on TPU, honest timing), the
 exact first-K-by-ORIGINAL-index selection mask is computed in XLA and
 column-permuted (a 0/1 one-hot MXU contraction — exact in bf16), and the
 kernel skips point tiles holding no selected neighbor. The masked max is
@@ -16,8 +16,9 @@ timing loop and every kernel reads back as a fake ~5 ms. Honest numbers,
 B=32, N=2048, S=512, sa1 scale2, prep included:
   sparse(nb=256) 19.8 ms | sparse(nb=128) 24.2 | v2 24.4 | XLA dense 28.5
 In-model (the only fully trustworthy metric): full inference pipeline
-86.2 -> 79.8 ms/batch (371 -> 401 windows/s) switching the three sa1
-scales from {XLA, v2, v2} to sparse. Regressor scales (S=128) and sa2
+86.2 -> 79.8 ms/batch switching the three sa1 scales from {XLA, v2, v2}
+to sparse (A/B with a then-constant rasterize stage; the published
+headline additionally counts rasterization per iteration — see bench.py). Regressor scales (S=128) and sa2
 measured FASTER on the in-model XLA dense path (shared sqrdists; an
 all-Pallas config regressed the pipeline to 98 ms) — they keep XLA.
 The chain is per-dot-issue-bound (time invariant to channel width), which
@@ -495,7 +496,8 @@ def morton_perm(xyz: jax.Array, bits: int = 6) -> jax.Array:
     deliberately small (64 cells/axis) so the packed sort key — (morton << 11)
     | index — fits int32; finer resolution than the ~128-point tile size buys
     nothing. The packed single-key sort matters: a multi-operand
-    ``jax.lax.sort`` measured ~20x slower than a single int32 sort on TPU.
+    ``jax.lax.sort`` measured ~3.5x slower than a single int32 sort on TPU
+    (honest key-perturbed timing; an earlier 20x reading was warm-up-contaminated).
     """
     N = xyz.shape[-2]
     assert N <= 2048, "packed morton key reserves 11 bits for the index"
