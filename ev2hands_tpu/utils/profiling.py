@@ -38,7 +38,12 @@ def device_throughput(
     iters: int = 20,
 ) -> float:
     """Seconds per iteration of ``fn(key) -> array``, measured with an
-    on-device scan loop (one dispatch, one synchronization)."""
+    on-device scan loop (one dispatch, one synchronization).
+
+    IMPORTANT: make ``fn``'s computation depend on ``key`` (e.g. perturb the
+    inputs with it) — XLA hoists loop-invariant work out of the scan, and a
+    closure over constant inputs will time only the non-hoistable remainder
+    (measured: whole kernels reading back as a fake ~5 ms)."""
     key = key if key is not None else jax.random.PRNGKey(0)
 
     def run(k):
