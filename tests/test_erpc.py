@@ -135,3 +135,46 @@ def test_single_pixel_window_no_nan():
         width=W, height=H, n_out=64,
     )
     assert np.isfinite(np.asarray(out.events)).all()
+
+
+def test_rasterize_large_window_masked_and_bounded(rng):
+    """Real-stream shape: N=4096 padded window with an event_valid mask and
+    max_pixels below the distinct-pixel count — the packed sort key must
+    stay in int32 range, invalid events must be dropped, and the kept rows
+    must be the lowest max_pixels pixel ids in row-major order."""
+    N, P = 4096, 512
+    xs = rng.randint(0, W, N)
+    ys = rng.randint(0, H, N)
+    ts = np.sort(rng.randint(0, 2_000, N)).astype(np.float64)  # ms timestamps
+    ps = rng.randint(0, 2, N)
+    ev = np.stack([xs, ys, ts, ps], -1).astype(np.float32)
+    labels = np.zeros(N, np.int32)
+    valid = rng.rand(N) > 0.25
+
+    feats, _, n_valid = rasterize_erpc(
+        jnp.asarray(ev), jnp.asarray(labels), W, H,
+        event_valid=jnp.asarray(valid), time_scale=1.0, max_pixels=P,
+    )
+
+    # numpy oracle on the valid events only
+    evv = ev[valid]
+    grid_t = np.zeros((H, W))
+    grid_p = np.zeros((H, W))
+    grid_n = np.zeros((H, W))
+    cnt = np.zeros((H, W))
+    x, y = evv[:, 0].astype(int), evv[:, 1].astype(int)
+    np.add.at(grid_t, (y, x), evv[:, 2])
+    np.add.at(grid_p, (y, x), evv[:, 3] == 1)
+    np.add.at(grid_n, (y, x), evv[:, 3] != 1)
+    np.add.at(cnt, (y, x), 1)
+    yi, xi = np.nonzero(cnt)  # row-major ascending
+    keep = slice(0, P)
+    ref = np.stack([
+        xi, yi, grid_t[yi, xi] / cnt[yi, xi],
+        grid_p[yi, xi], grid_n[yi, xi],
+    ], -1)[keep]
+
+    n = int(n_valid)
+    assert n == min(len(np.nonzero(cnt)[0]), P)
+    got = np.asarray(feats)[:n]
+    np.testing.assert_allclose(got, ref[:n], rtol=1e-6, atol=1e-4)
