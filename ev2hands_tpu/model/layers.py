@@ -86,8 +86,15 @@ class SetAbstractionMsg(nn.Module):
         points: Optional[jax.Array],
         train: bool = False,
         fps_key: Optional[jax.Array] = None,
+        fps_idx: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
-        fps_idx = fps_auto(xyz, self.npoint, key=fps_key)
+        # ``fps_idx`` lets callers share one sampling across structurally
+        # identical layers (the two regressor heads sample the SAME xyz with
+        # the same deterministic start in eval; as separate Pallas
+        # custom-calls XLA cannot CSE them, nor the distance/selection
+        # subgraphs downstream of their outputs).
+        if fps_idx is None:
+            fps_idx = fps_auto(xyz, self.npoint, key=fps_key)
         new_xyz = index_points(xyz, fps_idx)  # [B, S, 3]
 
         use_dense = self.grouping == "dense" and not train and points is not None

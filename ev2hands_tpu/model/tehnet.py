@@ -69,6 +69,7 @@ class ManoRegressor(nn.Module):
         features: jax.Array,   # [B, N, 4]
         train: bool = False,
         fps_key: Optional[jax.Array] = None,
+        fps_idx: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
         l1_xyz, l1_points = SetAbstractionMsg(
             npoint=128,
@@ -80,7 +81,7 @@ class ManoRegressor(nn.Module):
             event_mesh=self.event_mesh,
             pallas_grouping=self.pallas_grouping,
             name="sa1",
-        )(xyz, features, train, fps_key)
+        )(xyz, features, train, fps_key, fps_idx)
         _, l2_points = SetAbstractionAll(mlp=(256, 512), name="sa2")(
             l1_xyz, l1_points, train
         )
@@ -199,16 +200,25 @@ class TEHNet(nn.Module):
                 self.variables, l0_xyz, left_features, right_features
             )
         else:
+            # With deterministic FPS (eval, or fps_deterministic training)
+            # both heads sample the SAME xyz with the same start — compute
+            # the sampling once; the reference's random-FPS training keeps
+            # independent per-head draws (TEHNet.py:194-195 semantics).
+            reg_fps_idx = None
+            if keys[2] is None and keys[3] is None:
+                from ev2hands_tpu.ops.pallas_ops import fps_auto
+
+                reg_fps_idx = fps_auto(l0_xyz, 128, key=None)
             left = ManoRegressor(
                 dropout=cfg.dropout_regressor, grouping=cfg.grouping,
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
                 name="left_mano_regressor",
-            )(l0_xyz, left_features, train, keys[2])
+            )(l0_xyz, left_features, train, keys[2], reg_fps_idx)
             right = ManoRegressor(
                 dropout=cfg.dropout_regressor, grouping=cfg.grouping,
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
                 name="right_mano_regressor",
-            )(l0_xyz, right_features, train, keys[3])
+            )(l0_xyz, right_features, train, keys[3], reg_fps_idx)
 
         return {"class_logits": seg_logits, "left": left, "right": right}
 
