@@ -41,8 +41,9 @@ from ev2hands_tpu.parallel.event_parallel import fold_bn_dense
 
 SIDES = ("left_mano_regressor", "right_mano_regressor")
 
-# Regressor architecture constants (must mirror ManoRegressor in tehnet.py)
-_NPOINT = 128
+# Regressor architecture constants (must mirror ManoRegressor in tehnet.py;
+# the centroid count is the shared constant so a change there propagates)
+from ev2hands_tpu.model.tehnet import REGRESSOR_NPOINT as _NPOINT  # noqa: E402
 _RADII = (0.4, 0.8)
 _NSAMPLE = (64, 128)
 _MLPS = ((128, 128, 256), (128, 196, 256))

@@ -46,6 +46,12 @@ from ev2hands_tpu.model.layers import (
 )
 
 
+# Centroid count of the regressor heads' sa1 layer. Shared with TEHNet's
+# eval-time one-FPS-for-both-heads call (see ``reg_fps_idx`` below) — a
+# mismatch would silently feed a wrong-size sampling into both heads.
+REGRESSOR_NPOINT = 128
+
+
 class ManoRegressor(nn.Module):
     """Per-hand MANO parameter regressor (``TEHNet.py:30-112``).
 
@@ -72,7 +78,7 @@ class ManoRegressor(nn.Module):
         fps_idx: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
         l1_xyz, l1_points = SetAbstractionMsg(
-            npoint=128,
+            npoint=REGRESSOR_NPOINT,
             radius_list=(0.4, 0.8),
             nsample_list=(64, 128),
             mlps=((128, 128, 256), (128, 196, 256)),
@@ -208,7 +214,7 @@ class TEHNet(nn.Module):
             if keys[2] is None and keys[3] is None:
                 from ev2hands_tpu.ops.pallas_ops import fps_auto
 
-                reg_fps_idx = fps_auto(l0_xyz, 128, key=None)
+                reg_fps_idx = fps_auto(l0_xyz, REGRESSOR_NPOINT, key=None)
             left = ManoRegressor(
                 dropout=cfg.dropout_regressor, grouping=cfg.grouping,
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,

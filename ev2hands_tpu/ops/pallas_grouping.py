@@ -334,7 +334,9 @@ def dense_msg_scale_pallas_2d(
 
 
 # ---------------------------------------------------------------------------
-# v5 (PRODUCTION): fully fused — selection computed IN the kernel
+# v5 (exploration): fully fused — selection computed IN the kernel
+# (v4, dense_msg_scale_pallas_sparse below, is the production kernel — see
+# the module docstring and SetAbstractionMsg._use_pallas_scale)
 # ---------------------------------------------------------------------------
 
 def _kernel_fused(

@@ -67,9 +67,21 @@ def main():
     B0 = args.batches[0]
     raw, labels = make_raw(B0)
 
+    # Every closure below perturbs its inputs with the per-iteration scan key:
+    # XLA hoists loop-invariant work out of the timing scan, so a constant
+    # input reads a fake ~5 ms floor (the '+ 0.0 * k' trick does NOT defeat
+    # the hoist — the computation itself must depend on k). See CLAUDE.md.
+    def flip_polarity(ev, k):
+        """bench.py's trick: a key-dependent polarity flip keeps the pixel
+        geometry valid while making every rasterization operand live."""
+        flip = jax.random.bernoulli(k, 0.5, (ev.shape[0], 1))
+        p = ev[:, :, 3]
+        return ev.at[:, :, 3].set(jnp.where(flip, 1.0 - p, p))
+
     sec = device_throughput(
         lambda k: erpc_batch_transform(
-            raw, labels, k, width=cfg.sensor.width, height=cfg.sensor.height,
+            flip_polarity(raw, k), labels, k,
+            width=cfg.sensor.width, height=cfg.sensor.height,
             n_out=n_points).events,
         iters=args.iters,
     )
@@ -81,8 +93,11 @@ def main():
     ).events
 
     def fwd(k):
-        out = net.apply(variables, erpc_events, train=False)
-        return out["class_logits"] + 0.0 * k[0].astype(jnp.float32)
+        # tiny key-dependent jitter (<< any feature scale) so the whole
+        # forward is live per iteration; the perturbation op itself is noise
+        # at this size (~40 us of elementwise work vs a ~20 ms forward)
+        e = erpc_events + 1e-6 * jax.random.normal(k, erpc_events.shape)
+        return net.apply(variables, e, train=False)["class_logits"]
 
     sec = device_throughput(fwd, iters=args.iters)
     report("network_forward", B0, sec)
@@ -90,8 +105,12 @@ def main():
     fixed = net.apply(variables, erpc_events, train=False)
 
     def mano_only(k):
-        out = apply_mano(hands, fixed)
-        return out["left"]["vertices"] + 0.0 * k[0].astype(jnp.float32)
+        live = jax.tree.map(
+            lambda x: x + 1e-6 * jax.random.normal(k, x.shape, x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            fixed,
+        )
+        return apply_mano(hands, live)["left"]["vertices"]
 
     sec = device_throughput(mano_only, iters=args.iters)
     report("apply_mano", B0, sec)
@@ -101,7 +120,7 @@ def main():
 
         def pipeline(k):
             erpc = erpc_batch_transform(
-                raw_b, labels_b, k, width=cfg.sensor.width,
+                flip_polarity(raw_b, k), labels_b, k, width=cfg.sensor.width,
                 height=cfg.sensor.height, n_out=n_points)
             out = net.apply(variables, erpc.events, train=False)
             out = apply_mano(hands, out)
