@@ -97,7 +97,8 @@ def make_finetune_eval_step(net, hands, cfg: Config):
 
 
 def evaluate_finetune(
-    eval_step, state: TrainState, reader, cfg: Config, max_frames: int = 8192
+    eval_step, state: TrainState, reader, cfg: Config, max_frames: int = 8192,
+    mesh=None,
 ):
     """PCK/AUC on an Ev2HandRReader — the real-data branch of the reference's
     ``evaluate_net`` (``evaluate.py:262-276``): GT joints come straight from
@@ -113,10 +114,14 @@ def evaluate_finetune(
     for i, batch in enumerate(
         reader.batches(bs, max_batches=max(1, max_frames // bs))
     ):
-        pred = eval_step(
-            state, jnp.asarray(batch["events"]), jnp.asarray(batch["event_valid"]),
-            jax.random.fold_in(key, i),
-        )
+        events = jnp.asarray(batch["events"])
+        valid = jnp.asarray(batch["event_valid"])
+        if mesh is not None and events.shape[0] % mesh.size == 0:
+            # shard the eval batch over the training mesh (all devices work)
+            from ev2hands_tpu.parallel.mesh import shard_batch
+
+            events, valid = shard_batch((events, valid), mesh)
+        pred = eval_step(state, events, valid, jax.random.fold_in(key, i))
         gt = np.stack(
             [np.asarray(batch["left"]["j3d"]), np.asarray(batch["right"]["j3d"])],
             axis=1,
@@ -136,7 +141,13 @@ def finetune(
     synthetic_mano: bool = False,
     val_data_root: str = "",
     max_eval_iters: int = 8192,
+    resume_dir: str = "",
 ) -> TrainState:
+    """``resume_dir`` restores a previous finetune run's latest native
+    checkpoint — params, batch stats, optimizer state, step counter, and
+    best score — and continues, like the reference's ``load_network`` restart
+    (``/root/reference/src/Ev2Hands/finetune.py:64-66``).
+    ``checkpoint_path`` by contrast only warm-starts the weights."""
     from ev2hands_tpu.checkpoint import NativeCheckpointer
 
     logger = RunLogger("finetune")
@@ -154,6 +165,29 @@ def finetune(
         state = load_checkpoint_into_state(checkpoint_path, state)
         logger.info(f"warm-started from {checkpoint_path}")
 
+    start_it = 0
+    resumed_score = -float("inf")
+    if resume_dir:
+        prev = NativeCheckpointer(resume_dir)
+        last = prev.latest_step()
+        if last is not None:
+            restored = prev.restore(last, {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+                "opt_state": jax.device_get(state.opt_state),
+                "step": 0,
+                "max_eval_score": 0.0,
+            })
+            state = TrainState(
+                params=restored["params"], batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"],
+                step=jnp.asarray(int(restored["step"]), jnp.int32),
+            )
+            start_it = int(restored["step"])
+            resumed_score = float(restored["max_eval_score"])
+            logger.info(f"resumed finetune from {resume_dir} at step {start_it} "
+                        f"(best score {resumed_score})")
+
     mesh = create_mesh(cfg.train.data_parallel) if cfg.train.data_parallel > 1 else None
     if mesh is not None:
         state = replicate(state, mesh)
@@ -163,17 +197,24 @@ def finetune(
     eval_step = make_finetune_eval_step(net, hands, cfg)
 
     reader = Ev2HandRReader(data_root, seed=cfg.train.seed)
-    # reference validates on REAL_TEST_DATA_PATH (finetune.py:43); without a
-    # separate validation dir we fall back to the training recordings
+    # reference validates on held-out REAL_TEST_DATA_PATH (finetune.py:43)
+    if not val_data_root:
+        logger.info(
+            "WARNING: no --val_data_root given — save-on-best will select on "
+            "the TRAINING recordings, which is self-selecting and NOT the "
+            "reference's held-out validation semantics "
+            "(reference finetune.py:43). Pass a held-out recordings dir."
+        )
     val_reader = Ev2HandRReader(val_data_root or data_root,
                                 seed=cfg.train.seed + 100)
     ckptr = NativeCheckpointer(logger.run_dir + "/ckpt")
     key = jax.random.PRNGKey(cfg.train.seed + 2)
-    max_eval_score = -float("inf")
+    max_eval_score = resumed_score
     loss_log: Dict[str, float] = {}
     st = time.time()
 
-    for it, batch in enumerate(reader.batches(cfg.train.batch_size)):
+    for it, batch in enumerate(reader.batches(cfg.train.batch_size),
+                               start=start_it):
         if it >= max_iter:
             break
         if mesh is not None:
@@ -194,7 +235,7 @@ def finetune(
         if (it + 1) % save_iter == 0:
             # eval/save-on-best, mirroring reference finetune.py:104-121
             metrics, score = evaluate_finetune(
-                eval_step, state, val_reader, cfg, max_eval_iters
+                eval_step, state, val_reader, cfg, max_eval_iters, mesh=mesh
             )
             logger.info(f"eval@{it + 1}: score={score} auc={metrics['auc']}")
             logger.scalar("relative_auc", score, it + 1)
@@ -218,6 +259,9 @@ def main():
     ap.add_argument("--val_data_root", default="",
                     help="validation recordings dir (defaults to data_root)")
     ap.add_argument("--checkpoint_path", default="")
+    ap.add_argument("--resume_dir", default="",
+                    help="previous finetune run's ckpt dir to resume from "
+                         "(restores opt state + step, unlike checkpoint_path)")
     ap.add_argument("--max_iter", type=int, default=15_000)
     ap.add_argument("--save_iter", type=int, default=5_000)
     ap.add_argument("--batch_size", type=int, default=8)
@@ -231,7 +275,7 @@ def main():
            "data_parallel": args.data_parallel}))
     finetune(cfg, args.data_root, args.checkpoint_path,
              args.max_iter, args.save_iter, args.synthetic_mano,
-             val_data_root=args.val_data_root)
+             val_data_root=args.val_data_root, resume_dir=args.resume_dir)
 
 
 if __name__ == "__main__":

@@ -168,14 +168,22 @@ def make_eval_step(net: TEHNet, hands: Dict[str, ManoParams], cfg: Config):
 def evaluate(
     eval_step, state: TrainState, reader: Ev2HandSReader, cfg: Config,
     max_frames: Optional[int] = None, key: Optional[jax.Array] = None,
+    mesh=None,
 ) -> Tuple[Dict, float]:
-    """PCK/AUC evaluation over a reader (``evaluate_net``, ``evaluate.py:244-314``)."""
+    """PCK/AUC evaluation over a reader (``evaluate_net``, ``evaluate.py:244-314``).
+
+    Pass the training ``mesh`` so the periodic mid-train eval shards its
+    batches over the same data axis the train step uses — with replicated
+    params an unsharded batch would run the whole eval on one device while
+    the rest idle."""
     acc = PckAccumulator(num_steps=50, dist_max_mm=50.0)
     key = key if key is not None else jax.random.PRNGKey(0)
     max_frames = max_frames or cfg.train.max_eval_iters
     bs = cfg.train.eval_batch_size
     for i, batch in enumerate(reader.batches(bs, shuffle=False,
                                              max_batches=max(1, max_frames // bs))):
+        if mesh is not None and batch["events"].shape[0] % mesh.size == 0:
+            batch = shard_batch(batch, mesh)
         pred, gt = eval_step(state, batch, jax.random.fold_in(key, i))
         acc.update(pred, gt)
         if acc.frames >= max_frames:
@@ -303,7 +311,7 @@ def train(cfg: Config = DEFAULT_CONFIG, synthetic_mano: bool = False,
             st = ed
 
         if (it + 1) % cfg.train.save_iter == 0:
-            metrics, score = evaluate(eval_step, state, val_reader, cfg)
+            metrics, score = evaluate(eval_step, state, val_reader, cfg, mesh=mesh)
             logger.info(f"eval@{it + 1}: score={score} auc={metrics['auc']}")
             logger.scalar("relative_auc", score, it + 1)
             if score > max_eval_score:

@@ -173,3 +173,40 @@ def test_demo_renders_video(recording, small_cfg, tmp_path, monkeypatch):
     assert os.path.exists(out) and os.path.getsize(out) > 0
     # 3 % 2 != 0: the final partial batch must be rendered, not dropped
     assert n == 3
+
+
+def test_finetune_resume_restores_state(recording, small_cfg, tmp_path, monkeypatch):
+    """finetune(resume_dir=...) restores params, batch stats, optimizer state
+    and the step counter from a previous run's checkpoint (reference
+    `load_network` restart, finetune.py:64-66). Resuming with
+    max_iter == saved step runs zero new iterations, so the returned state
+    must bitwise-equal the end of the first run."""
+    import glob
+
+    from ev2hands_tpu.finetune import finetune
+
+    monkeypatch.chdir(tmp_path)
+    cfg = small_cfg.replace(train=small_cfg.train.__class__(
+        **{**small_cfg.train.__dict__,
+           "batch_size": 2, "eval_batch_size": 2, "msg_iter": 1}))
+
+    state1 = finetune(cfg, recording, "", max_iter=2, save_iter=2,
+                      synthetic_mano=True, max_eval_iters=2)
+    ckpts = sorted(glob.glob(str(tmp_path / "runs" / "finetune_*" / "ckpt")))
+    assert ckpts, "first run must have saved a best checkpoint at step 2"
+
+    state2 = finetune(cfg, recording, "", max_iter=2, save_iter=2,
+                      synthetic_mano=True, max_eval_iters=2,
+                      resume_dir=ckpts[-1])
+    assert int(state2.step) == 2
+    for a, b in zip(jax.tree.leaves(jax.device_get(state1.params)),
+                    jax.tree.leaves(jax.device_get(state2.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(jax.device_get(state1.opt_state)),
+                    jax.tree.leaves(jax.device_get(state2.opt_state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # both runs validated on the training recordings (no val_data_root):
+    # the loud self-selection warning must be in the run logs
+    logs = glob.glob(str(tmp_path / "runs" / "finetune_*" / "log.txt"))
+    assert logs and all("val_data_root" in open(p).read() for p in logs)
