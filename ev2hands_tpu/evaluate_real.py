@@ -64,7 +64,18 @@ def evaluate_recording(
     eval_step, state, stream: RealStream, cfg: Config,
     batch_size: int = 32, num_steps: int = 100, max_windows: int = None,
 ) -> Dict:
-    """Stream a recording through sliding windows; per-window scores."""
+    """Stream a recording through sliding windows; per-window scores.
+
+    Window assembly (pickle slicing, undistortion, tail padding) runs in a
+    background thread (``Prefetcher`` over ``sliding_window_batches``) so the
+    host pipeline overlaps with device inference — the reference gets the
+    same overlap from ``DataLoader(num_workers=cpu_count)``
+    (``evaluate_ev2hands_r.py:187``)."""
+    import time
+
+    from ev2hands_tpu.events.real_streams import sliding_window_batches
+    from ev2hands_tpu.events.streams import Prefetcher
+
     pck_abs = np.zeros(num_steps + 1)
     pck_rel = np.zeros(num_steps + 1)
     pck_rrr = np.zeros(num_steps + 1)
@@ -73,21 +84,16 @@ def evaluate_recording(
     root_distances: List[float] = []  # min GT inter-hand joint distance (mm),
     frames = 0                        # cf. evaluate_ev2hands_r.py:81
     key = jax.random.PRNGKey(0)
+    t_start = time.perf_counter()
 
-    buf_ev, buf_va, buf_gt = [], [], []
-
-    def flush():
-        nonlocal frames, pck_abs, pck_rel, pck_rrr
-        if not buf_ev:
-            return
-        # pad a partial tail batch to the static jit shape by repeating the
-        # last window, then score only the real k entries — no window of the
-        # recording is dropped
-        k = len(buf_ev)
-        pad = batch_size - k
-        ev = jnp.asarray(np.stack(buf_ev + [buf_ev[-1]] * pad))
-        va = jnp.asarray(np.stack(buf_va + [buf_va[-1]] * pad))
-        gt = jnp.asarray(np.stack(buf_gt + [buf_gt[-1]] * pad)) * 1000.0  # m -> mm
+    batches = Prefetcher(
+        sliding_window_batches(stream, batch_size, max_windows, with_gt=True)
+    )
+    for b in batches:
+        k = b["n_valid"]
+        ev = jnp.asarray(b["events"])
+        va = jnp.asarray(b["event_valid"])
+        gt = jnp.asarray(b["j3d"]) * 1000.0  # m -> mm
         pred, noncol = eval_step(state, ev, va, jax.random.fold_in(key, frames))
         pred, gt, noncol = pred[:k], gt[:k], noncol[:k]
         pck_abs += np.asarray(jnp.sum(absolute_pck3d(pred, gt, num_steps, 100.0), 0))
@@ -102,21 +108,13 @@ def evaluate_recording(
             np.linalg.norm(gt_np[:, 0] - gt_np[:, 1], axis=-1).min(-1).tolist()
         )
         frames += k
-        buf_ev.clear(); buf_va.clear(); buf_gt.clear()
 
-    for w in stream.sliding_windows():
-        buf_ev.append(w["events"])
-        buf_va.append(w["event_valid"])
-        buf_gt.append(w["j3d"])
-        if len(buf_ev) == batch_size:
-            flush()
-        if max_windows and frames + len(buf_ev) >= max_windows:
-            break
-    flush()  # score the final partial batch too
-
+    elapsed = time.perf_counter() - t_start
     f = max(frames, 1)
     return {
         "frames": frames,
+        # end-to-end: host windowing + device inference + metric accumulation
+        "windows_per_sec_end_to_end": frames / max(elapsed, 1e-9),
         "mpjpe_mm": float(np.mean(mpjpe_vals)) if mpjpe_vals else float("nan"),
         "non_collision_pct": float(np.mean(noncol_vals)) if noncol_vals else float("nan"),
         "root_distance_mm": root_distances,

@@ -241,3 +241,51 @@ def write_synthetic_ev2hands_r(
     with open(path, "wb") as f:
         pickle.dump(data, f)
     return path
+
+
+def sliding_window_batches(
+    stream: "RealStream",
+    batch_size: int,
+    max_windows: Optional[int] = None,
+    with_gt: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Host-side batch assembly for the streaming inference paths.
+
+    Collects ``stream.sliding_windows()`` into fixed-size batches for the
+    static-shape jitted step; the final partial batch is padded by repeating
+    its last window, with ``n_valid`` giving the real count (no window is
+    dropped). Designed to run inside ``events.streams.Prefetcher`` so window
+    assembly (pickle slicing, undistortion, padding) overlaps with device
+    compute — the reference gets the same overlap from DataLoader workers
+    (``evaluate_ev2hands_r.py:187``, ``demo.py:107-111``).
+
+    Windows are yielded strictly in stream order; total yielded
+    ``n_valid`` ≈ ``max_windows`` with the same stopping rule as the
+    previous inline loops (stop once the running count reaches it, scoring
+    whatever is buffered).
+    """
+    buf: List[Dict[str, np.ndarray]] = []
+    produced = 0
+
+    def batch() -> Dict[str, np.ndarray]:
+        k = len(buf)
+        padded = buf + [buf[-1]] * (batch_size - k)
+        out = {
+            "events": np.stack([w["events"] for w in padded]),
+            "event_valid": np.stack([w["event_valid"] for w in padded]),
+            "n_valid": k,
+        }
+        if with_gt:
+            out["j3d"] = np.stack([w["j3d"] for w in padded])
+        return out
+
+    for w in stream.sliding_windows():
+        buf.append(w)
+        if len(buf) == batch_size:
+            yield batch()
+            produced += batch_size
+            buf = []
+        if max_windows and produced + len(buf) >= max_windows:
+            break
+    if buf:
+        yield batch()

@@ -210,3 +210,30 @@ def test_finetune_resume_restores_state(recording, small_cfg, tmp_path, monkeypa
     # the loud self-selection warning must be in the run logs
     logs = glob.glob(str(tmp_path / "runs" / "finetune_*" / "log.txt"))
     assert logs and all("val_data_root" in open(p).read() for p in logs)
+
+
+def test_sliding_window_batches_order_and_count(recording):
+    """The prefetched batch generator yields every sliding window exactly
+    once, in stream order, with the tail padded and n_valid marking the real
+    rows — so the streaming paths (evaluate_real, demo) score/render exactly
+    the windows a synchronous loop would."""
+    from ev2hands_tpu.events.real_streams import sliding_window_batches
+    from ev2hands_tpu.events.streams import Prefetcher
+
+    direct = list(RealStream(recording).sliding_windows())
+    batches = list(
+        Prefetcher(sliding_window_batches(RealStream(recording), 4))
+    )
+    flat_ev, flat_gt = [], []
+    for b in batches:
+        assert b["events"].shape[0] == 4  # static jit shape, tail padded
+        flat_ev.extend(b["events"][: b["n_valid"]])
+        flat_gt.extend(b["j3d"][: b["n_valid"]])
+    assert len(flat_ev) == len(direct)
+    for a, g, w in zip(flat_ev, flat_gt, direct):
+        np.testing.assert_array_equal(a, w["events"])
+        np.testing.assert_array_equal(g, w["j3d"])
+
+    # the max_windows stopping rule of the previous inline loops is preserved
+    capped = list(sliding_window_batches(RealStream(recording), 4, max_windows=6))
+    assert sum(b["n_valid"] for b in capped) == 6
