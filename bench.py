@@ -26,31 +26,40 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benc
 REFERENCE = "/root/reference/src/Ev2Hands"
 
 
-def analytic_flops_per_window(n_points=2048):
-    """Analytic FLOPs (2 x MACs) of the dense inference pipeline per event
-    window — the XLA ``cost_analysis`` on this platform underreports by more
-    than an order of magnitude (and cannot see Pallas kernels), so the MFU
-    headline uses this count of the dominant matmul terms.
+def analytic_flops_per_window(n_points=2048, sa1_activity=None):
+    """Analytic FLOPs (2 x MACs) of the inference pipeline per event window —
+    the XLA ``cost_analysis`` on this platform underreports by more than an
+    order of magnitude (and cannot see Pallas kernels), so both MFU lines use
+    this count of the dominant matmul terms.
 
     Channel spec mirrors model/tehnet.py (reference TEHNet.py:127-166).
 
-    Note: the sa1 scales now run a block-sparse kernel that SKIPS point
-    tiles with no selected neighbor, so part of this dense count is never
-    executed — the MFU line is a dense-formulation-normalized throughput
-    metric (consistent across bench history), not a hardware-counter
-    utilization."""
+    Two variants:
+      * ``sa1_activity=None`` — the DENSE-formulation count. The sa1 scales
+        actually run a block-sparse kernel that skips point tiles with no
+        selected neighbor, so part of this count is never executed: this is
+        the dense-normalized throughput metric (consistent across bench
+        history), not a hardware utilization.
+      * ``sa1_activity=(a0, a1, a2)`` — the EXECUTED count: each sa1 scale's
+        quadratic pair-conv term is scaled by its measured tile-activity
+        fraction (the exact fraction of [sb, nb] tiles the kernel runs —
+        read from the same ``tile_activity`` bits that gate the kernel, so
+        this is executed work by construction, no trace parsing needed).
+    """
     N = n_points
 
-    def msg(S, n, d_in, scales):
+    def msg(S, n, d_in, scales, activity=None):
         macs = 0
-        for c in scales:
+        for j, c in enumerate(scales):
+            a = 1.0 if activity is None else activity[j]
             macs += n * (d_in + 3) * c[0] + S * (d_in + 3) * c[0]  # u/v split
-            macs += S * n * (c[0] * c[1] + c[1] * c[2])            # pair convs
+            macs += a * S * n * (c[0] * c[1] + c[1] * c[2])        # pair convs
         return macs
 
     macs = 0
     # encoder
-    macs += msg(512, N, 5, [(32, 32, 64), (64, 64, 128), (64, 96, 128)])
+    macs += msg(512, N, 5, [(32, 32, 64), (64, 64, 128), (64, 96, 128)],
+                activity=sa1_activity)
     macs += msg(128, 512, 320, [(128, 128, 256), (128, 196, 256)])
     macs += 128 * (515 * 256 + 256 * 512 + 512 * 1024)             # sa3
     # decoder (3-NN interp matmuls omitted — small)
@@ -144,14 +153,60 @@ def measure_ours(batch_size=32, iters=20, n_points=2048):
     jax.device_get(fn(variables, raw, labels, jax.random.PRNGKey(2)))
     dt = time.perf_counter() - t0
 
+    # Measured tile activity of the three sa1 sparse-kernel scales on the
+    # benchmark inputs: the exact fraction of the dense pair work the
+    # production kernel executes (same mask bits that gate the kernel).
+    sa1_activity = measure_sa1_activity(
+        erpc_batch_transform(
+            raw, labels, jax.random.PRNGKey(2),
+            width=cfg.sensor.width, height=cfg.sensor.height, n_out=n_points,
+        ).events
+    )
+
     # MFU from the analytic matmul count (XLA cost_analysis underreports on
     # this platform and cannot count Pallas kernels). TPU v5 lite peak:
     # ~197 TFLOP/s bf16 (the dot path); MFU against that peak.
+    # Two numbers: dense-normalized (bench-history-stable throughput metric)
+    # and executed (sa1 pair convs scaled by measured tile activity).
     flops_per_window = analytic_flops_per_window(n_points)
+    flops_executed = analytic_flops_per_window(n_points, sa1_activity)
     peak = 197e12
     mfu_pct = 100.0 * (flops_per_window * batch_size * iters / dt) / peak
+    mfu_executed_pct = 100.0 * (flops_executed * batch_size * iters / dt) / peak
 
-    return batch_size * iters / dt, flops_per_window, mfu_pct
+    return (batch_size * iters / dt, flops_per_window, mfu_pct,
+            mfu_executed_pct, sa1_activity)
+
+
+def measure_sa1_activity(events, npoint=512, nb=256):
+    """Mean tile-activity fraction per sa1 scale on a representative ERPC
+    batch — computed with the SAME ops the production path runs
+    (fps_auto -> dense_selection_mask -> morton permute -> tile_activity),
+    so (1 - activity) is exactly the fraction of pair-conv work the sparse
+    kernel skips."""
+    import jax
+    import jax.numpy as jnp
+
+    from ev2hands_tpu.ops.pallas_grouping import (
+        dense_selection_mask, morton_perm, permute_columns, tile_activity,
+    )
+    from ev2hands_tpu.ops.pallas_ops import fps_auto
+    from ev2hands_tpu.ops.pointnet import index_points, square_distance
+
+    @jax.jit
+    def acts(events):
+        xyz = events[..., :3]
+        new_xyz = index_points(xyz, fps_auto(xyz, npoint, key=None))
+        sq = square_distance(new_xyz, xyz)
+        perm = morton_perm(xyz)
+        out = []
+        for r, k in ((0.1, 32), (0.2, 64), (0.4, 128)):
+            sel = dense_selection_mask(xyz, new_xyz, r, k, sqrdists=sq)
+            act = tile_activity(permute_columns(sel, perm), nb)
+            out.append(jnp.mean(act.astype(jnp.float32)))
+        return jnp.stack(out)
+
+    return [round(float(a), 4) for a in jax.device_get(acts(events))]
 
 
 def measure_train_step(batch_size=8, iters=10, n_points=2048):
@@ -280,7 +335,8 @@ def get_torch_baseline():
 
 
 def main():
-    ours, flops_per_window, mfu_pct = measure_ours()
+    (ours, flops_per_window, mfu_pct, mfu_executed_pct,
+     sa1_activity) = measure_ours()
     try:
         train_wps = measure_train_step()
     except Exception as e:
@@ -300,6 +356,10 @@ def main():
             round(flops_per_window) if flops_per_window is not None else None
         ),
         "mfu_pct": round(mfu_pct, 3) if mfu_pct is not None else None,
+        # executed-work MFU: sa1 pair convs scaled by the measured
+        # tile-activity fraction the sparse kernel actually runs
+        "mfu_executed_pct": round(mfu_executed_pct, 3),
+        "sa1_tile_activity": sa1_activity,
     }))
 
 

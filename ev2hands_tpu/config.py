@@ -74,9 +74,23 @@ class ModelConfig:
     fps_deterministic: bool = False
     # Neighborhood grouping backend for the set-abstraction blocks:
     # 'dense' (gather/sort-free masked pairs; eval numerics identical to
-    # 'gather', training always uses 'gather' for BatchNorm-stat parity) or
-    # 'gather' (the reference's top_k + gather formulation everywhere).
+    # 'gather') or 'gather' (the reference's top_k + gather formulation
+    # everywhere). Training defaults to 'gather' for BatchNorm-stat parity;
+    # see dense_train below for the dense TRAINING formulation.
     grouping: str = "dense"
+    # Use the dense formulation in TRAINING too, with multiplicity-weighted
+    # BatchNorm batch statistics that reproduce the gather path's stats
+    # exactly (backfill duplicates included; tested to f64-exactness incl.
+    # gradients — see layers.SetAbstractionMsg._dense_train_scale).
+    # STATUS (TPU v5e, B=8, N=2048, honest key-perturbed timing): LOSES
+    # single-chip — fwd 85 ms / full step 511 ms vs the gather path's
+    # 43.5 / 71.5 ms. The dense backward needs either >16 GB of pair
+    # residuals (the un-remat'd variant OOMs at 17.7 GB) or jax.checkpoint
+    # recompute of the chunked sweeps, and the recomputed chunk dots are
+    # per-dot-issue-bound. Default off; the formulation is PRODUCTION for
+    # event-sharded training (event_parallel + dense_train), where the
+    # gather path has no cross-shard analogue and stats psum over shards.
+    dense_train: bool = False
     # Shard the event dimension N over a mesh 'event' axis in the dense eval
     # path (SURVEY §5's context-parallel analogue for event clouds). Takes
     # effect when a Mesh is passed as ``TEHNet(cfg, event_mesh=...)``;

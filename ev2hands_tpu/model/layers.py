@@ -43,6 +43,57 @@ def _bn(train: bool, name: str) -> nn.BatchNorm:
     )
 
 
+class PairBatchNorm(nn.Module):
+    """BatchNorm param/stat holder for the dense-formulation TRAINING path.
+
+    Parameter/variable tree is identical to ``nn.BatchNorm(name=...)``
+    (params ``scale``/``bias``, batch_stats ``mean``/``var``) so checkpoints
+    and the eval paths are unchanged. Instead of normalizing a tensor it
+    *finalizes* weighted sums accumulated across centroid chunks into batch
+    statistics — the multiplicity weights make the statistics equal (to
+    float accumulation order) to the gather path's BatchNorm over the
+    selected-neighbor multiset, backfill duplicates included
+    (reference BN over grouped neighbors: ``pointnet2_utils.py:253-257``).
+    """
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.features,)
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+        self.ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,))
+        )
+        self.ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,))
+        )
+
+    def update_stats(self, mean: jax.Array, var: jax.Array) -> None:
+        """Fold finalized batch stats into the running averages (flax
+        momentum convention; no gradient flows through the update)."""
+        if not self.is_initializing():
+            m = self.momentum
+            self.ra_mean.value = m * self.ra_mean.value + (1 - m) * mean
+            self.ra_var.value = m * self.ra_var.value + (1 - m) * var
+
+    def finalize(self, wsum: jax.Array, wsqsum: jax.Array, count: float):
+        """(Σ w·z, Σ w·z², Σ w) -> per-channel affine (a, b) with
+        y = a*z + b the batch-normalized activation; updates running stats
+        like flax BatchNorm (biased variance for both, documented deviation
+        from torch's unbiased running var)."""
+        mean = wsum / count
+        var = jnp.maximum(wsqsum / count - mean**2, 0.0)
+        self.update_stats(mean, var)
+        inv = self.scale / jnp.sqrt(var + self.epsilon)
+        return inv, self.bias - mean * inv
+
+
 class SetAbstractionMsg(nn.Module):
     """Multi-scale-grouping set abstraction.
 
@@ -70,6 +121,12 @@ class SetAbstractionMsg(nn.Module):
     mlps: Sequence[Sequence[int]]
     grouping: str = "dense"   # 'dense' | 'gather'
     dense_chunk: int = 64     # centroids per chunk in dense mode
+    # Run the gather-free dense formulation in TRAINING too, with
+    # multiplicity-weighted BatchNorm batch statistics that exactly reproduce
+    # the gather path's stats over the selected-neighbor multiset (backfill
+    # duplicates included). See _dense_train_scale; status/measurements in
+    # ModelConfig.dense_train.
+    dense_train: bool = False
     # Optional jax.sharding.Mesh with an 'event' axis: shards the quadratic
     # [S, N] pair work of the dense eval path over devices (the
     # context-parallel analogue, SURVEY §5). Inference-only — training keeps
@@ -94,18 +151,37 @@ class SetAbstractionMsg(nn.Module):
         # custom-calls XLA cannot CSE them, nor the distance/selection
         # subgraphs downstream of their outputs).
         if fps_idx is None:
-            fps_idx = fps_auto(xyz, self.npoint, key=fps_key)
+            if self.event_mesh is not None and not self.is_initializing():
+                # shard the O(npoint * N) greedy scan over the event axis —
+                # otherwise FPS is the replicated Amdahl term at large N
+                from ev2hands_tpu.parallel.event_parallel import (
+                    event_sharded_fps,
+                )
+
+                fps_idx = event_sharded_fps(
+                    self.event_mesh, xyz, self.npoint, key=fps_key
+                )
+            else:
+                fps_idx = fps_auto(xyz, self.npoint, key=fps_key)
         new_xyz = index_points(xyz, fps_idx)  # [B, S, 3]
 
         use_dense = self.grouping == "dense" and not train and points is not None
+        use_dense_train = (
+            self.grouping == "dense" and train and self.dense_train
+            and points is not None
+        )
         # event sharding needs live params (folded BN), so never during init
         use_event = (
             use_dense and self.event_mesh is not None
             and not self.is_initializing()
         )
+        use_event_train = (
+            use_dense_train and self.event_mesh is not None
+            and not self.is_initializing()
+        )
         sqrdists = None
         perm = xyz_p = points_p = None
-        if not use_event:
+        if not use_event and not use_event_train:
             # one [B, S, N] distance tensor shared by every scale (both the
             # dense mask path and the gather-mode ball query consume it)
             sqrdists = square_distance(new_xyz, xyz)
@@ -122,10 +198,44 @@ class SetAbstractionMsg(nn.Module):
                 xyz_p = jnp.take_along_axis(xyz, perm[..., None], axis=1)
                 points_p = jnp.take_along_axis(points, perm[..., None], axis=1)
 
+        gathered = None
+        if not use_dense and not use_dense_train and not use_event:
+            # Gather mode: ONE gather for all scales. Six small index_points
+            # calls measured 23.0 ms vs 16.7 ms for one concatenated gather
+            # at B=8, S=512, N=2048 on v5e — per-call gather overhead, not
+            # bandwidth. Values are identical (same indices, same source).
+            idxs = [
+                query_ball_point(r, self.nsample_list[i], xyz, new_xyz,
+                                 sqrdists=sqrdists)
+                for i, r in enumerate(self.radius_list)
+            ]
+            cat_idx = jnp.concatenate(idxs, axis=-1)   # [B, S, sum(K)]
+            src = (jnp.concatenate([points, xyz], axis=-1)
+                   if points is not None else xyz)
+            gathered = index_points(src, cat_idx)      # [B, S, sum(K), D+3]
+
         outs = []
+        k_off = 0
         for i, radius in enumerate(self.radius_list):
             k = self.nsample_list[i]
             convs = [nn.Dense(w, name=f"conv_{i}_{j}") for j, w in enumerate(self.mlps[i])]
+            if use_dense_train:
+                # PairBatchNorm owns the same bn_{i}_{j} param/stat tree as
+                # nn.BatchNorm; only one of the two binds a given name per
+                # trace (train is a static Python bool)
+                pbns = [
+                    PairBatchNorm(features=width, name=f"bn_{i}_{j}")
+                    for j, width in enumerate(self.mlps[i])
+                ]
+                if use_event_train:
+                    outs.append(self._event_train_scale(
+                        i, xyz, points, new_xyz, radius, k, pbns
+                    ))
+                    continue
+                outs.append(self._dense_train_scale(
+                    i, xyz, points, new_xyz, sqrdists, radius, k, convs, pbns
+                ))
+                continue
             bns = [_bn(train, f"bn_{i}_{j}") for j in range(len(self.mlps[i]))]
 
             if use_event:
@@ -147,14 +257,15 @@ class SetAbstractionMsg(nn.Module):
                 )
                 continue
 
-            idx = query_ball_point(radius, k, xyz, new_xyz, sqrdists=sqrdists)
-            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+            g = gathered[:, :, k_off : k_off + k, :]
+            k_off += k
             if points is not None:
+                D = points.shape[-1]
                 grouped = jnp.concatenate(
-                    [index_points(points, idx), grouped_xyz], axis=-1
+                    [g[..., :D], g[..., D:] - new_xyz[:, :, None, :]], axis=-1
                 )
             else:
-                grouped = grouped_xyz
+                grouped = g - new_xyz[:, :, None, :]
             x = grouped  # [B, S, K, C]
             for conv, bn in zip(convs, bns):
                 x = nn.relu(bn(conv(x)))
@@ -181,7 +292,9 @@ class SetAbstractionMsg(nn.Module):
         return (
             len(mlp) == 3
             and n_points % 256 == 0       # point-tile divisibility
-            and n_points <= 2048          # morton_perm's packed-key bound
+            and n_points <= 8192          # full-resolution morton keys +
+                                          # validated VMEM sizing (the kernel
+                                          # is exactness-tested through 4096)
             and self.npoint % 8 == 0      # sb divisibility
             and n_points * self.npoint >= 512 * 2048
         )
@@ -241,6 +354,149 @@ class SetAbstractionMsg(nn.Module):
             self.event_mesh, xyz, points, new_xyz, layers, radius, k,
             s_chunk=self.dense_chunk,
         )
+
+    def _event_train_scale(self, i, xyz, points, new_xyz, radius, k, pbns):
+        """Training MSG scale with the event axis sharded over
+        ``self.event_mesh`` — the differentiable, weighted-BN analogue of
+        ``_event_scale`` (parallel/event_parallel.py does the shard_map;
+        this reads raw conv/BN params and folds the returned global batch
+        stats into the running averages)."""
+        from ev2hands_tpu.parallel.event_parallel import (
+            event_sharded_train_msg_scale,
+        )
+
+        p = self.variables["params"]
+        L = len(self.mlps[i])
+        conv_params = [
+            (p[f"conv_{i}_{j}"]["kernel"], p[f"conv_{i}_{j}"]["bias"])
+            for j in range(L)
+        ]
+        bn_params = [
+            (p[f"bn_{i}_{j}"]["scale"], p[f"bn_{i}_{j}"]["bias"])
+            for j in range(L)
+        ]
+        pooled, stats = event_sharded_train_msg_scale(
+            self.event_mesh, xyz, points, new_xyz, conv_params, bn_params,
+            radius, k, s_chunk=self.dense_chunk,
+        )
+        for pbn, (mean, var) in zip(pbns, stats):
+            pbn.update_stats(mean, var)
+        return pooled
+
+    def _dense_train_scale(
+        self, i, xyz, points, new_xyz, sqrdists, radius, k, convs, pbns
+    ):
+        """Gather-free TRAINING scale with gather-parity BatchNorm stats.
+
+        The gather path exists in training only so BatchNorm batch statistics
+        are computed over the reference's selected-neighbor multiset
+        (``pointnet2_utils.py:253-257``). This computes the SAME statistics in
+        the dense formulation: each selected (centroid, point) pair carries a
+        multiplicity weight — 1, plus ``k - cnt`` extra on the first in-radius
+        point when the neighborhood underfills (the gather backfill) — and
+        every BN layer's batch mean/var is the weighted mean/var of its
+        pre-BN activations over all pairs (Σw = B*S*k exactly).
+
+        Because stats of layer l gate the normalization feeding layer l+1,
+        the chain runs as L chunked sweeps: sweep l recomputes layers 0..l-1
+        with their finalized affines and accumulates layer l's weighted sums.
+        The final sweep also tracks the masked max AND min of the pre-BN last
+        layer: BN's per-channel affine is monotone (direction = sign of the
+        folded scale), so the pooled activation is
+        ``relu(affine(max_z))`` where scale >= 0 and ``relu(affine(min_z))``
+        otherwise — no fourth sweep. Chunk bodies are ``jax.checkpoint``-ed:
+        backward memory stays at one [B, chunk, N, C] tile per layer.
+
+        Eval-time numerics are untouched (this path only runs when
+        ``train=True``); gradient flow matches the gather path — each
+        duplicate slot's contribution to stats and pooling is reproduced by
+        the weights, and max-tie handling only differs on exact float ties.
+        """
+        from functools import partial
+
+        B, N, _ = xyz.shape
+        S = new_xyz.shape[1]
+        D = points.shape[-1]
+        L = len(convs)
+
+        mask = sqrdists <= radius**2
+        rank = jnp.cumsum(mask, axis=-1) - mask
+        sel = mask & (rank < k)
+        first = mask & (rank == 0)
+        cnt = jnp.sum(mask, axis=-1)
+        empty = cnt == 0
+        at0 = jnp.arange(N) == 0
+        # empty centroids fall back to point 0 with full multiplicity k (the
+        # documented dense-mode deviation; unreachable with FPS centroids)
+        sel = sel | (empty[..., None] & at0)
+        w = sel.astype(xyz.dtype) + first.astype(xyz.dtype) * jnp.maximum(
+            k - cnt, 0
+        )[..., None].astype(xyz.dtype)
+        w = jnp.where(empty[..., None] & at0, float(k), w)
+        count = float(B * S * k)
+
+        u = convs[0](jnp.concatenate([points, xyz], axis=-1))       # [B,N,C1]
+        v = convs[0](jnp.concatenate(
+            [jnp.zeros((B, S, D), xyz.dtype), new_xyz], axis=-1))   # [B,S,C1]
+        zb = convs[0](jnp.zeros((1, 1, D + 3), xyz.dtype))          # bias
+
+        init = self.is_initializing()
+        if init:
+            # params for conv 1..L-1 do not exist yet: create them through
+            # the module calls (plain path, no remat — init runs once)
+            def apply_conv(j, h):
+                return convs[j](h)
+        else:
+            p = self.variables["params"]
+            lp = [(p[f"conv_{i}_{j}"]["kernel"], p[f"conv_{i}_{j}"]["bias"])
+                  for j in range(1, L)]
+
+            def apply_conv(j, h):
+                kern, bias = lp[j - 1]
+                return h @ kern + bias
+
+        chunk = max(1, min(self.dense_chunk, S))
+
+        def stats_chunk(l, s0, affines):
+            """Weighted sums of layer l's pre-BN activation for centroid
+            chunk [s0, s0+chunk); recomputes layers < l from u/v."""
+            z = u[:, None, :, :] - v[:, s0:s0 + chunk, None, :] + zb[:, None]
+            for j in range(l):
+                a, b = affines[j]
+                z = apply_conv(j + 1, nn.relu(a * z + b))
+            wc = w[:, s0:s0 + chunk, :, None]
+            s_ = jnp.sum(wc * z, axis=(0, 1, 2))
+            q_ = jnp.sum(wc * (z * z), axis=(0, 1, 2))
+            if l == L - 1:
+                m = sel[:, s0:s0 + chunk, :, None]
+                zmx = jnp.max(jnp.where(m, z, -jnp.inf), axis=2)
+                zmn = jnp.min(jnp.where(m, z, jnp.inf), axis=2)
+                return s_, q_, zmx, zmn
+            return s_, q_
+
+        remat = (lambda f: f) if init else jax.checkpoint
+        affines = []
+        mx_chunks, mn_chunks = [], []
+        for l in range(L):
+            acc_s = jnp.zeros((convs[l].features,), xyz.dtype)
+            acc_q = jnp.zeros((convs[l].features,), xyz.dtype)
+            for s0 in range(0, S, chunk):
+                res = remat(partial(stats_chunk, l, s0))(affines)
+                if l == L - 1:
+                    s_, q_, zmx, zmn = res
+                    mx_chunks.append(zmx)
+                    mn_chunks.append(zmn)
+                else:
+                    s_, q_ = res
+                acc_s = acc_s + s_
+                acc_q = acc_q + q_
+            affines.append(pbns[l].finalize(acc_s, acc_q, count))
+
+        a, b = affines[-1]
+        mx = jnp.concatenate(mx_chunks, axis=1)  # [B, S, C_last]
+        mn = jnp.concatenate(mn_chunks, axis=1)
+        pooled = jnp.where(a >= 0, mx, mn)
+        return nn.relu(a * pooled + b)
 
     def _dense_scale(self, xyz, points, new_xyz, sqrdists, radius, k, convs, bns):
         """Gather-free scale: masked dense pairs, chunked over centroids."""

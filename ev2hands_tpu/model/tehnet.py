@@ -65,6 +65,7 @@ class ManoRegressor(nn.Module):
     n_shape_params: int = 10
     dropout: float = 0.3
     grouping: str = "dense"
+    dense_train: bool = False
     event_mesh: Optional[object] = None
     pallas_grouping: bool = True
 
@@ -83,6 +84,7 @@ class ManoRegressor(nn.Module):
             nsample_list=(64, 128),
             mlps=((128, 128, 256), (128, 196, 256)),
             grouping=self.grouping,
+            dense_train=self.dense_train,
             dense_chunk=32,
             event_mesh=self.event_mesh,
             pallas_grouping=self.pallas_grouping,
@@ -144,6 +146,7 @@ class TEHNet(nn.Module):
             nsample_list=(32, 64, 128),
             mlps=((32, 32, 64), (64, 64, 128), (64, 96, 128)),
             grouping=cfg.grouping,
+            dense_train=cfg.dense_train,
             event_mesh=emesh,
             pallas_grouping=cfg.pallas_grouping,
             name="sa1",
@@ -154,6 +157,7 @@ class TEHNet(nn.Module):
             nsample_list=(64, 128),
             mlps=((128, 128, 256), (128, 196, 256)),
             grouping=cfg.grouping,
+            dense_train=cfg.dense_train,
             event_mesh=emesh,
             pallas_grouping=cfg.pallas_grouping,
             name="sa2",
@@ -212,16 +216,27 @@ class TEHNet(nn.Module):
             # independent per-head draws (TEHNet.py:194-195 semantics).
             reg_fps_idx = None
             if keys[2] is None and keys[3] is None:
-                from ev2hands_tpu.ops.pallas_ops import fps_auto
+                if emesh is not None and not self.is_initializing():
+                    from ev2hands_tpu.parallel.event_parallel import (
+                        event_sharded_fps,
+                    )
 
-                reg_fps_idx = fps_auto(l0_xyz, REGRESSOR_NPOINT, key=None)
+                    reg_fps_idx = event_sharded_fps(
+                        emesh, l0_xyz, REGRESSOR_NPOINT
+                    )
+                else:
+                    from ev2hands_tpu.ops.pallas_ops import fps_auto
+
+                    reg_fps_idx = fps_auto(l0_xyz, REGRESSOR_NPOINT, key=None)
             left = ManoRegressor(
                 dropout=cfg.dropout_regressor, grouping=cfg.grouping,
+                dense_train=cfg.dense_train,
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
                 name="left_mano_regressor",
             )(l0_xyz, left_features, train, keys[2], reg_fps_idx)
             right = ManoRegressor(
                 dropout=cfg.dropout_regressor, grouping=cfg.grouping,
+                dense_train=cfg.dense_train,
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
                 name="right_mano_regressor",
             )(l0_xyz, right_features, train, keys[3], reg_fps_idx)

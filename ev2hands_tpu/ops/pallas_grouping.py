@@ -495,14 +495,21 @@ def morton_perm(xyz: jax.Array, bits: int = 6) -> jax.Array:
     Spatial sorting is what makes the sparse grouping kernel work: a radius
     ball touches only a handful of Morton-contiguous tiles, so per-tile
     activity bits skip most of the dense pair work. ``bits`` per axis is
-    deliberately small (64 cells/axis) so the packed sort key — (morton << 11)
-    | index — fits int32; finer resolution than the ~128-point tile size buys
-    nothing. The packed single-key sort matters: a multi-operand
-    ``jax.lax.sort`` measured ~3.5x slower than a single int32 sort on TPU
-    (honest key-perturbed timing; an earlier 20x reading was warm-up-contaminated).
+    deliberately small (64 cells/axis) so the packed sort key —
+    (morton << idx_bits) | index — fits int32; finer resolution than the
+    ~128-point tile size buys nothing. The packed single-key sort matters: a
+    multi-operand ``jax.lax.sort`` measured ~3.5x slower than a single int32
+    sort on TPU (honest key-perturbed timing; an earlier 20x reading was
+    warm-up-contaminated).
+
+    The index field width adapts to N (ceil(log2 N) bits), shrinking the
+    Morton resolution only when 3*bits + idx_bits would overflow the 31
+    usable int32 bits — full 6-bit resolution holds through N=8192.
     """
     N = xyz.shape[-2]
-    assert N <= 2048, "packed morton key reserves 11 bits for the index"
+    idx_bits = max(1, (N - 1).bit_length())
+    bits = min(bits, (31 - idx_bits) // 3)
+    assert bits >= 1, f"N={N} leaves no int32 room for a morton key"
     hi = (1 << bits) - 1
     q = jnp.clip(((xyz + 1.0) * (0.5 * hi)).astype(jnp.int32), 0, hi)
 
@@ -516,8 +523,8 @@ def morton_perm(xyz: jax.Array, bits: int = 6) -> jax.Array:
     key = (
         spread(q[..., 0]) | (spread(q[..., 1]) << 1) | (spread(q[..., 2]) << 2)
     )  # [B, N] — 3*bits <= 18 bits
-    packed = (key << 11) | jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
-    return (jnp.sort(packed, axis=-1) & 0x7FF).astype(jnp.int32)
+    packed = (key << idx_bits) | jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+    return (jnp.sort(packed, axis=-1) & ((1 << idx_bits) - 1)).astype(jnp.int32)
 
 
 def permute_columns(sel: jax.Array, perm: jax.Array) -> jax.Array:

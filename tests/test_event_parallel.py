@@ -197,3 +197,146 @@ def test_event_sharded_empty_fallback(rng):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_event_sharded_fps_matches_unsharded(rng):
+    """event_sharded_fps == farthest_point_sample exactly (greedy max-min,
+    first-max tie-breaking), deterministic and random-key starts, on the
+    (2 data x 4 event) mesh."""
+    from ev2hands_tpu.ops.pointnet import farthest_point_sample
+    from ev2hands_tpu.parallel.event_parallel import (
+        create_event_mesh,
+        event_sharded_fps,
+    )
+
+    B, N, S = 2, 256, 48
+    xyz = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+    mesh = create_event_mesh(n_event=4, n_data=2)
+
+    ref = farthest_point_sample(xyz, S)
+    got = event_sharded_fps(mesh, xyz, S)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    key = jax.random.PRNGKey(5)
+    ref = farthest_point_sample(xyz, S, key=key)
+    got = event_sharded_fps(mesh, xyz, S, key=key)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_event_train_scale_matches_dense_train(rng):
+    """The event-sharded TRAINING scale (weighted BN stats psum'd across
+    shards, all_gather max/min pooling) == the single-device dense_train
+    scale: outputs, updated running stats, and parameter gradients."""
+    import jax.flatten_util
+
+    from ev2hands_tpu.model.layers import SetAbstractionMsg
+    from ev2hands_tpu.parallel.event_parallel import create_event_mesh
+
+    B, N = 2, 256
+    xyz = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+    points = jnp.asarray(rng.randn(B, N, 5) * 0.3, jnp.float32)
+    kwargs = dict(
+        npoint=32, radius_list=(0.2, 0.4), nsample_list=(8, 16),
+        mlps=((16, 16, 32), (16, 24, 32)), grouping="dense",
+        dense_train=True, pallas_grouping=False,
+    )
+    mod = SetAbstractionMsg(**kwargs)
+    variables = mod.init({"params": jax.random.PRNGKey(0)}, xyz, points, True)
+
+    mesh = create_event_mesh(n_event=4, n_data=2)
+    res = {}
+    for name, m in (("single", SetAbstractionMsg(**kwargs)),
+                    ("sharded", SetAbstractionMsg(**kwargs, event_mesh=mesh))):
+        def fwd(params):
+            (nx, out), upd = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                xyz, points, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out**2), (out, upd["batch_stats"])
+
+        (loss, (out, st)), g = jax.value_and_grad(fwd, has_aux=True)(
+            variables["params"])
+        res[name] = (out, st, g)
+
+    np.testing.assert_allclose(np.asarray(res["single"][0]),
+                               np.asarray(res["sharded"][0]), atol=1e-4)
+    for (p1, l1), (p2, l2) in zip(
+        jax.tree.leaves_with_path(res["single"][1]),
+        jax.tree.leaves_with_path(res["sharded"][1]),
+    ):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(p1))
+    f1, _ = jax.flatten_util.ravel_pytree(res["single"][2])
+    f2, _ = jax.flatten_util.ravel_pytree(res["sharded"][2])
+    rel = np.linalg.norm(np.asarray(f1) - np.asarray(f2)) / (
+        np.linalg.norm(np.asarray(f1)) + 1e-12)
+    assert rel < 1e-3, rel
+
+
+def test_tehnet_event_sharded_train_step(rng):
+    """FULL TEHNet training step (forward + BN updates + grads) with the
+    event axis sharded over the (2 data x 4 event) mesh == unsharded
+    dense_train, compared in float64 (f32 accumulation noise amplifies
+    through the stack; see test_dense_train_full_model_matches_gather)."""
+    import jax.flatten_util
+
+    from ev2hands_tpu.config import ModelConfig
+    from ev2hands_tpu.model import TEHNet
+    from ev2hands_tpu.parallel.event_parallel import create_event_mesh
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        N = 512
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, N, 5),
+                              dtype=jnp.float64)
+        mesh = create_event_mesh(n_event=4, n_data=2)
+        res = {}
+        for name, emesh in (("single", None), ("sharded", mesh)):
+            cfg = ModelConfig(n_points=N, fps_deterministic=True,
+                              grouping="dense", dense_train=True,
+                              event_parallel=emesh is not None,
+                              pallas_grouping=False)
+            net = TEHNet(cfg=cfg, event_mesh=emesh)
+            variables = net.init({"params": jax.random.PRNGKey(0)}, x,
+                                 train=False)
+            variables = jax.tree.map(
+                lambda a: a.astype(jnp.float64)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
+
+            def fwd(params):
+                out, upd = net.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    x, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(11),
+                          "fps": jax.random.PRNGKey(12)},
+                    mutable=["batch_stats"],
+                )
+                loss = (jnp.sum(out["class_logits"] ** 2)
+                        + sum(jnp.sum(out[s][k] ** 2)
+                              for s in ("left", "right")
+                              for k in ("global_orient", "hand_pose",
+                                        "betas", "transl")))
+                return loss, upd["batch_stats"]
+
+            (loss, st), g = jax.value_and_grad(fwd, has_aux=True)(
+                variables["params"])
+            res[name] = (float(loss), st, g)
+
+        np.testing.assert_allclose(res["single"][0], res["sharded"][0],
+                                   rtol=1e-9)
+        for (p1, l1), (p2, l2) in zip(
+            jax.tree.leaves_with_path(res["single"][1]),
+            jax.tree.leaves_with_path(res["sharded"][1]),
+        ):
+            assert p1 == p2
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                       rtol=1e-8, atol=1e-10, err_msg=str(p1))
+        f1, _ = jax.flatten_util.ravel_pytree(res["single"][2])
+        f2, _ = jax.flatten_util.ravel_pytree(res["sharded"][2])
+        rel = np.linalg.norm(np.asarray(f1) - np.asarray(f2)) / (
+            np.linalg.norm(np.asarray(f1)) + 1e-30)
+        assert rel < 1e-8, rel
+    finally:
+        jax.config.update("jax_enable_x64", False)

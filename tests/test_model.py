@@ -231,3 +231,136 @@ def test_dense_grouping_matches_gather():
                 np.asarray(outs["dense"][side][k]),
                 atol=2e-3, rtol=1e-3,
             )
+
+
+def test_dense_train_bn_stats_match_gather():
+    """The dense TRAINING formulation (multiplicity-weighted BN stats,
+    layers.SetAbstractionMsg._dense_train_scale) must reproduce the gather
+    path's training forward exactly: pooled outputs, the updated BatchNorm
+    batch statistics over the selected-neighbor multiset (backfill
+    duplicates included), and the parameter gradients."""
+    import jax.flatten_util
+
+    from ev2hands_tpu.model.layers import SetAbstractionMsg
+
+    key = jax.random.PRNGKey(3)
+    B, N, D = 2, 192, 5
+    xyz = jax.random.normal(key, (B, N, 3)) * 0.5
+    pts = jax.random.normal(jax.random.fold_in(key, 1), (B, N, D))
+
+    def build(grouping, dense_train):
+        return SetAbstractionMsg(
+            npoint=48,
+            radius_list=(0.2, 0.4),
+            nsample_list=(8, 16),
+            mlps=((16, 16, 32), (16, 24, 32)),
+            grouping=grouping,
+            dense_train=dense_train,
+            dense_chunk=16,
+            pallas_grouping=False,
+        )
+
+    ref = build("gather", False)
+    variables = ref.init({"params": jax.random.PRNGKey(0)}, xyz, pts, True)
+
+    outs, stats, grads = {}, {}, {}
+    for name, mod in (("gather", ref), ("dense", build("dense", True))):
+        def fwd(params):
+            (nx, np_), upd = mod.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                xyz, pts, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(np_**2), (np_, upd["batch_stats"])
+
+        (loss, (out, st)), g = jax.value_and_grad(fwd, has_aux=True)(
+            variables["params"]
+        )
+        outs[name], stats[name], grads[name] = out, st, g
+
+    np.testing.assert_allclose(
+        np.asarray(outs["gather"]), np.asarray(outs["dense"]), atol=5e-5
+    )
+    # updated running stats: batch mean/var over the same multiset
+    g_leaves = jax.tree.leaves_with_path(stats["gather"])
+    d_leaves = jax.tree.leaves_with_path(stats["dense"])
+    for (pg, lg), (pd, ld) in zip(g_leaves, d_leaves):
+        assert pg == pd
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(ld), atol=2e-5,
+            err_msg=str(pg),
+        )
+    fg, _ = jax.flatten_util.ravel_pytree(grads["gather"])
+    fd, _ = jax.flatten_util.ravel_pytree(grads["dense"])
+    rel = np.linalg.norm(np.asarray(fg) - np.asarray(fd)) / (
+        np.linalg.norm(np.asarray(fg)) + 1e-12
+    )
+    assert rel < 1e-4, rel
+
+
+def test_dense_train_full_model_matches_gather():
+    """Full TEHNet training forward + batch stats + grads: dense_train ==
+    gather, compared in float64 where accumulation-order noise vanishes
+    (in f32 the ~1e-5 per-layer noise amplifies through the 10-layer stack
+    and flips relu-boundary gradient masks; both paths are equally 'right'
+    there — the per-layer f32 exactness lives in
+    test_dense_train_bn_stats_match_gather)."""
+    import jax.flatten_util
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, 192, 5),
+                              dtype=jnp.float64)
+        res = {}
+        for grouping, dense_train in (("gather", False), ("dense", True)):
+            cfg = ModelConfig(n_points=192, fps_deterministic=True,
+                              grouping=grouping, dense_train=dense_train,
+                              pallas_grouping=False)
+            net = TEHNet(cfg=cfg)
+            variables = net.init({"params": jax.random.PRNGKey(0)}, x,
+                                 train=False)
+            variables = jax.tree.map(
+                lambda a: a.astype(jnp.float64)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
+
+            def fwd(params):
+                out, upd = net.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    x, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(11),
+                          "fps": jax.random.PRNGKey(12)},
+                    mutable=["batch_stats"],
+                )
+                loss = (jnp.sum(out["class_logits"] ** 2)
+                        + sum(jnp.sum(out[s][k] ** 2)
+                              for s in ("left", "right")
+                              for k in ("global_orient", "hand_pose",
+                                        "betas", "transl")))
+                return loss, (out, upd["batch_stats"])
+
+            (loss, (out, st)), g = jax.value_and_grad(fwd, has_aux=True)(
+                variables["params"]
+            )
+            res[grouping] = (float(loss), out, st, g)
+
+        assert np.isfinite(res["gather"][0])
+        np.testing.assert_allclose(res["gather"][0], res["dense"][0],
+                                   rtol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(res["gather"][1]["class_logits"]),
+            np.asarray(res["dense"][1]["class_logits"]), atol=1e-9,
+        )
+        sg = jax.tree.leaves_with_path(res["gather"][2])
+        sd = jax.tree.leaves_with_path(res["dense"][2])
+        for (pg, lg), (pd, ld) in zip(sg, sd):
+            assert pg == pd
+            np.testing.assert_allclose(np.asarray(lg), np.asarray(ld),
+                                       rtol=1e-9, atol=1e-9, err_msg=str(pg))
+        fg, _ = jax.flatten_util.ravel_pytree(res["gather"][3])
+        fd, _ = jax.flatten_util.ravel_pytree(res["dense"][3])
+        rel = np.linalg.norm(np.asarray(fg) - np.asarray(fd)) / (
+            np.linalg.norm(np.asarray(fg)) + 1e-30
+        )
+        assert rel < 1e-8, rel
+    finally:
+        jax.config.update("jax_enable_x64", False)

@@ -278,3 +278,42 @@ def test_fused_selection_kernel_interpret(rng):
     np.testing.assert_allclose(
         np.asarray(got)[:, 3], np.asarray(h0), atol=2e-5
     )
+
+
+def test_sparse_grouping_kernel_interpret_n4096(rng):
+    """The N<=2048 cap is gone: morton_perm's packed key adapts its index
+    field to N (12 bits at 4096, full 6-bit morton resolution retained), and
+    the sparse kernel stays exact vs the gather reference at N=4096 — the
+    single-chip large-N path no longer silently falls back to XLA dense."""
+    from ev2hands_tpu.ops.pallas_grouping import (
+        dense_msg_scale_pallas_sparse,
+        dense_selection_mask,
+        fold_scale_params,
+        morton_perm,
+        permute_columns,
+        tile_activity,
+    )
+
+    B, S, N, nb = 1, 16, 4096, 256
+    xyz = jnp.asarray(np.clip(rng.randn(B, N, 3) * 0.4, -1, 1), jnp.float32)
+    feats = jnp.asarray(rng.randn(B, N, 5), jnp.float32)
+    new_xyz = xyz[:, :S]
+    r, K = 0.25, 8
+    conv, bn = _random_scale_params(rng, 8)
+
+    perm = morton_perm(xyz)
+    for b in range(B):
+        assert np.array_equal(np.sort(np.asarray(perm[b])), np.arange(N))
+    xyz_p = jnp.take_along_axis(xyz, perm[..., None], axis=1)
+    feats_p = jnp.take_along_axis(feats, perm[..., None], axis=1)
+    folded = fold_scale_params(feats_p, xyz_p, new_xyz, conv, bn)
+    sel = dense_selection_mask(xyz, new_xyz, r, K)
+    sel_p = permute_columns(sel, perm)
+    act = tile_activity(sel_p, nb)
+    assert float(jnp.mean(act.astype(jnp.float32))) < 0.7  # sparsity is real
+
+    got = dense_msg_scale_pallas_sparse(
+        folded, sel_p, act, sb=8, nb=nb, interpret=True
+    )
+    ref = _gather_reference(xyz, feats, new_xyz, r, K, conv, bn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
