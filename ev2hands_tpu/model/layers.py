@@ -281,7 +281,12 @@ class SetAbstractionMsg(nn.Module):
         timing scans): sparse(nb=256) 19.8 ms vs p2d 24.4 ms vs XLA dense
         28.5 ms per sa1 scale, prep included. Smaller scales (sa2, the
         regressors) measured better on the in-model XLA dense path, which
-        shares one sqrdists tensor across scales."""
+        shares one sqrdists tensor across scales.
+
+        Large-N A/B after the morton_perm cap removal (full pipeline, B=16,
+        honest timing, scripts/ab_n4096.py): N=2048 392.1 vs 308.5 w/s
+        (1.27x); N=4096 218.9 vs 162.5 w/s (1.35x) — the sparse skip wins
+        MORE at larger N, since activity density falls with N."""
         if not self.pallas_grouping or self.is_initializing():
             return False
         import jax as _jax

@@ -29,6 +29,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import jax.flatten_util  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -66,8 +67,6 @@ def main():
     loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
     jax.block_until_ready(grads)
     t_step = time.time() - t0
-
-    import jax.flatten_util
 
     gnorm = float(jnp.linalg.norm(
         jax.flatten_util.ravel_pytree(grads)[0]))
