@@ -78,6 +78,13 @@ class ModelConfig:
     # everywhere). Training defaults to 'gather' for BatchNorm-stat parity;
     # see dense_train below for the dense TRAINING formulation.
     grouping: str = "dense"
+    # Centroids per chunk in the dense grouping paths (memory/program-size
+    # knob: pair tensors are [B, dense_chunk, N, C]; smaller chunks cap
+    # memory, bigger chunks shrink the unrolled program/compile time).
+    dense_chunk: int = 64
+    # Same knob for the MANO-regressor heads' sa1 (their pair tensors are
+    # [B, chunk, n_points, 128+] — wider, so a smaller default).
+    regressor_dense_chunk: int = 32
     # Use the dense formulation in TRAINING too, with multiplicity-weighted
     # BatchNorm batch statistics that reproduce the gather path's stats
     # exactly (backfill duplicates included; tested to f64-exactness incl.

@@ -66,6 +66,7 @@ class ManoRegressor(nn.Module):
     dropout: float = 0.3
     grouping: str = "dense"
     dense_train: bool = False
+    dense_chunk: int = 32
     event_mesh: Optional[object] = None
     pallas_grouping: bool = True
 
@@ -85,7 +86,7 @@ class ManoRegressor(nn.Module):
             mlps=((128, 128, 256), (128, 196, 256)),
             grouping=self.grouping,
             dense_train=self.dense_train,
-            dense_chunk=32,
+            dense_chunk=self.dense_chunk,
             event_mesh=self.event_mesh,
             pallas_grouping=self.pallas_grouping,
             name="sa1",
@@ -147,6 +148,7 @@ class TEHNet(nn.Module):
             mlps=((32, 32, 64), (64, 64, 128), (64, 96, 128)),
             grouping=cfg.grouping,
             dense_train=cfg.dense_train,
+            dense_chunk=cfg.dense_chunk,
             event_mesh=emesh,
             pallas_grouping=cfg.pallas_grouping,
             name="sa1",
@@ -158,6 +160,7 @@ class TEHNet(nn.Module):
             mlps=((128, 128, 256), (128, 196, 256)),
             grouping=cfg.grouping,
             dense_train=cfg.dense_train,
+            dense_chunk=cfg.dense_chunk,
             event_mesh=emesh,
             pallas_grouping=cfg.pallas_grouping,
             name="sa2",
@@ -231,12 +234,14 @@ class TEHNet(nn.Module):
             left = ManoRegressor(
                 dropout=cfg.dropout_regressor, grouping=cfg.grouping,
                 dense_train=cfg.dense_train,
+                dense_chunk=cfg.regressor_dense_chunk,
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
                 name="left_mano_regressor",
             )(l0_xyz, left_features, train, keys[2], reg_fps_idx)
             right = ManoRegressor(
                 dropout=cfg.dropout_regressor, grouping=cfg.grouping,
                 dense_train=cfg.dense_train,
+                dense_chunk=cfg.regressor_dense_chunk,
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
                 name="right_mano_regressor",
             )(l0_xyz, right_features, train, keys[3], reg_fps_idx)

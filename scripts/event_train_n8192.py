@@ -78,7 +78,7 @@ def main():
         "init_sec": round(t_init, 1),
         "compile_plus_step_sec": round(t_step, 1),
         "note": "dense_train event-sharded full-model train step at 4x the "
-                "production window size; parity pinned at N=512 in f64 by "
+                "production window size; parity pinned in f64 by "
                 "test_tehnet_event_sharded_train_step",
     }
     print(json.dumps(result, indent=2))

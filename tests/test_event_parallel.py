@@ -287,7 +287,9 @@ def test_tehnet_event_sharded_train_step(rng):
 
     jax.config.update("jax_enable_x64", True)
     try:
-        N = 512
+        N = 256  # keeps the 8-way sharded f64 run ~5 min; parity is
+        # N-independent (the N=8192 execution lives in
+        # scripts/event_train_n8192.py)
         x = jax.random.normal(jax.random.PRNGKey(7), (2, N, 5),
                               dtype=jnp.float64)
         mesh = create_event_mesh(n_event=4, n_data=2)
@@ -295,6 +297,7 @@ def test_tehnet_event_sharded_train_step(rng):
         for name, emesh in (("single", None), ("sharded", mesh)):
             cfg = ModelConfig(n_points=N, fps_deterministic=True,
                               grouping="dense", dense_train=True,
+                              dense_chunk=512, regressor_dense_chunk=512,
                               event_parallel=emesh is not None,
                               pallas_grouping=False)
             net = TEHNet(cfg=cfg, event_mesh=emesh)

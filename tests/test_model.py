@@ -312,8 +312,11 @@ def test_dense_train_full_model_matches_gather():
                               dtype=jnp.float64)
         res = {}
         for grouping, dense_train in (("gather", False), ("dense", True)):
+            # one big chunk: 8x smaller unrolled program, much faster
+            # compile; chunking is a memory knob, not a numerics one
             cfg = ModelConfig(n_points=192, fps_deterministic=True,
                               grouping=grouping, dense_train=dense_train,
+                              dense_chunk=512, regressor_dense_chunk=512,
                               pallas_grouping=False)
             net = TEHNet(cfg=cfg)
             variables = net.init({"params": jax.random.PRNGKey(0)}, x,
