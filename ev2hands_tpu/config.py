@@ -107,6 +107,12 @@ class ModelConfig:
     # it measured faster than XLA (TEHNet sa1 scales 2-3 on v5e: ~1.2x);
     # TPU inference only, exact on-device numerics vs the XLA dense path.
     pallas_grouping: bool = True
+    # Point-tile size of the block-sparse grouping kernel (points per
+    # pl.when-guarded tile; larger tiles -> fewer, bigger MXU dots but a
+    # coarser activity skip). The chain is per-dot-issue-bound on v5e, so
+    # nb=256 beat nb=128 (19.8 vs 24.2 ms/scale); see scripts/ab_n4096.py
+    # --nb for the sweep harness.
+    pallas_nb: int = 256
     # Run the two MANO regressor heads as one h-stacked pass in the dense
     # eval path (shared FPS/selection, folded BN, batched matmuls) — exact
     # eval numerics (tested). MEASURED SLOWER on TPU v5e than the two plain

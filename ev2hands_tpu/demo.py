@@ -3,9 +3,11 @@ visualization video.
 
 Re-design of ``src/Ev2Hands/demo.py``: batched jitted inference with
 double-buffered host prefetch, per-event segmentation painted back to pixel
-coordinates, optional mesh render (pyrender if installed, otherwise a
-built-in point-splat projection of the predicted MANO vertices through the
-demo camera), side-by-side mp4 at 25 fps.
+coordinates, a mesh pane (device-projected vertex point-splat, on-device
+z-buffered flat-shaded rasterization via the data generator's XLA renderer,
+or pyrender offscreen GL — ``--mesh_render``), side-by-side mp4 at 25 fps.
+All per-frame device math lives in ONE jitted step; the host loop is numpy
+paints + mp4 encode, overlapped with inference by the prefetcher.
 """
 
 from __future__ import annotations
@@ -27,10 +29,38 @@ from ev2hands_tpu.model import TEHNet, apply_mano
 from ev2hands_tpu.train import build_hands, create_train_state
 
 
-def make_demo_step(net: TEHNet, hands, cfg):
+def make_demo_step(net: TEHNet, hands, cfg, faces=None, mesh_render="splat"):
     """Jitted step returning everything the visualizer needs: segmentation
-    argmax per event, the (denormalized) event pixel coords, and vertices."""
+    argmax per event, the (denormalized) event pixel coords, vertices, and
+    the *projected* vertex pixel coords (``px_left``/``px_right``).
+
+    Projection runs on-device inside the one jitted program: calling the
+    un-jitted ``opengl_projection_transform`` per frame from the host loop
+    dispatched dozens of small ops per frame over the ~25 ms/dispatch device
+    tunnel and dominated the demo's end-to-end time (measured 0.4 windows/s;
+    the reference keeps its render math inside torch on-GPU, ``demo.py``).
+
+    ``mesh_render="device"`` additionally z-buffer-rasterizes both predicted
+    MANO meshes on-device (flat-shaded, ``datagen/rasterizer.rasterize_mesh``
+    — the same XLA renderer the data generator uses) and returns per-window
+    ``mesh_cls`` [B, H, W] / ``mesh_shade`` [B, H, W]; requires ``faces``."""
     sensor = cfg.sensor
+    W, H = sensor.width, sensor.height
+    from ev2hands_tpu.camera import opengl_projection_transform
+
+    projection = jnp.asarray(
+        cfg.camera.projection_matrix(W, H), jnp.float32)
+    if mesh_render == "device":
+        from ev2hands_tpu.datagen.rasterizer import rasterize_mesh
+
+        fl = np.asarray(faces["left"], np.int32)
+        fr = np.asarray(faces["right"], np.int32)
+        # opengl_projection_transform maps x -> (1 - ndc_x) * 0.5 * W while
+        # the rasterizer maps x -> (ndc_x + 1) * 0.5 * W; negate the
+        # projection's first row so both panes share the reference's
+        # orientation (camera.py:10-38).
+        raster_proj = projection * jnp.asarray(
+            [[-1.0], [1.0], [1.0], [1.0]], jnp.float32)
 
     def fn(state, events, valid, key):
         erpc = erpc_real_batch_transform(
@@ -47,13 +77,41 @@ def make_demo_step(net: TEHNet, hands, cfg):
             [sensor.width, sensor.height], jnp.float32
         )
         pol = erpc.events[..., 3:5]
-        return {
+        vl = outputs["left"]["vertices"]                    # [B, V, 3] meters
+        vr = outputs["right"]["vertices"]
+        out = {
             "seg": seg,
             "xy": xy,
             "polarity": pol,
-            "verts_left": outputs["left"]["vertices"],
-            "verts_right": outputs["right"]["vertices"],
+            "px_left": opengl_projection_transform(projection, W, H, vl * 1e3),
+            "px_right": opengl_projection_transform(projection, W, H, vr * 1e3),
         }
+        if mesh_render == "device":
+            n_v = vl.shape[1]
+            all_faces = jnp.concatenate(
+                [jnp.asarray(fl), jnp.asarray(fr) + n_v], axis=0)
+            materials = jnp.concatenate([
+                jnp.ones((len(fl),), jnp.int32),
+                jnp.full((len(fr),), 2, jnp.int32),
+            ])
+
+            def render_one(verts):
+                r = rasterize_mesh(
+                    verts, all_faces, materials, raster_proj,
+                    width=W, height=H)
+                return r.class_id, r.intensity
+
+            # lax.map (not vmap): bounds the rasterizer's [T, W] row
+            # working set to one window at a time instead of B at once
+            cls, shade = jax.lax.map(
+                render_one,
+                jnp.concatenate([vl, vr], axis=1) * 1e3)
+            out["mesh_cls"] = cls
+            out["mesh_shade"] = shade
+        else:
+            out["verts_left"] = vl
+            out["verts_right"] = vr
+        return out
 
     return jax.jit(fn)
 
@@ -84,32 +142,24 @@ def render_segmentation(xy, seg, width, height) -> np.ndarray:
     return img
 
 
-def render_mesh_frame(verts_left, verts_right, faces_left, faces_right,
-                      projection, width, height) -> np.ndarray:
-    """Mesh visualization: pyrender offscreen if available, else point-splat
-    of projected vertices (keeps the demo dependency-free)."""
-    try:  # pragma: no cover - optional native GL path
-        import pyrender  # noqa: F401
-
-        return _render_mesh_pyrender(
-            verts_left, verts_right, faces_left, faces_right, width, height
-        )
-    except Exception:
-        pass
+def paint_mesh_splat(px_left, px_right, width, height) -> np.ndarray:
+    """Point-splat the device-projected vertex pixel coords (pure numpy —
+    the projection itself ran inside the jitted step)."""
     img = np.zeros((height, width, 3), np.uint8)
-    from ev2hands_tpu.camera import opengl_projection_transform
-
-    for verts, color in ((verts_left, (0, 255, 0)), (verts_right, (255, 0, 0))):
-        pts = np.asarray(
-            opengl_projection_transform(
-                jnp.asarray(projection, jnp.float32), width, height,
-                jnp.asarray(verts * 1000.0, jnp.float32),
-            )
-        )
+    for pts, color in ((px_left, (0, 255, 0)), (px_right, (255, 0, 0))):
         x = np.clip(pts[:, 0].astype(int), 0, width - 1)
         y = np.clip(pts[:, 1].astype(int), 0, height - 1)
         img[y, x] = color
     return img
+
+
+def colorize_mesh_raster(cls, shade) -> np.ndarray:
+    """Colorize the device-rasterized mesh pane: left=green, right=blue
+    (BGR, matching the segmentation colors, ``settings.py:40``), modulated
+    by the flat-shaded intensity."""
+    colors = np.array([[0, 0, 0], [0, 255, 0], [255, 0, 0]], np.float32)
+    img = colors[np.clip(cls, 0, 2)] * shade[..., None]
+    return np.clip(img, 0, 255).astype(np.uint8)
 
 
 def _render_mesh_pyrender(vl, vr, fl, fr, width, height):  # pragma: no cover
@@ -136,6 +186,7 @@ def run_demo(
     max_windows: Optional[int] = None,
     synthetic_mano: bool = False,
     fps: int = 25,
+    mesh_render: str = "splat",
 ):
     cfg = DEFAULT_CONFIG
     hands_obj = build_hands(cfg, synthetic=synthetic_mano)
@@ -148,9 +199,8 @@ def run_demo(
 
         state = load_checkpoint_into_state(checkpoint_path, state)
 
-    step = make_demo_step(net, hands, cfg)
+    step = make_demo_step(net, hands, cfg, faces=faces, mesh_render=mesh_render)
     stream = RealStream(input_path, cfg.sensor.width, cfg.sensor.height)
-    projection = cfg.camera.projection_matrix(cfg.sensor.width, cfg.sensor.height)
 
     import cv2
 
@@ -186,10 +236,16 @@ def run_demo(
         for i in range(k):
             events_img = render_event_frame(out["xy"][i], out["polarity"][i], W, H)
             seg_img = render_segmentation(out["xy"][i], out["seg"][i], W, H)
-            mesh_img = render_mesh_frame(
-                out["verts_left"][i], out["verts_right"][i],
-                faces["left"], faces["right"], projection, W, H,
-            )
+            if mesh_render == "device":
+                mesh_img = colorize_mesh_raster(
+                    out["mesh_cls"][i], out["mesh_shade"][i])
+            elif mesh_render == "pyrender":  # pragma: no cover - optional GL
+                mesh_img = _render_mesh_pyrender(
+                    out["verts_left"][i], out["verts_right"][i],
+                    faces["left"], faces["right"], W, H)
+            else:
+                mesh_img = paint_mesh_splat(
+                    out["px_left"][i], out["px_right"][i], W, H)
             writer.write(np.concatenate([events_img, seg_img, mesh_img], axis=1))
             n_frames += 1
         batch_walls.append((time.perf_counter() - t_batch, k))
@@ -217,9 +273,15 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--max_windows", type=int, default=None)
     ap.add_argument("--synthetic_mano", action="store_true")
+    ap.add_argument("--mesh_render", default="splat",
+                    choices=("splat", "device", "pyrender"),
+                    help="mesh pane: vertex point-splat (device-projected), "
+                         "on-device z-buffered flat-shaded rasterization, or "
+                         "pyrender offscreen GL if installed")
     args = ap.parse_args()
     run_demo(args.input, args.checkpoint_path, args.out, args.batch_size,
-             args.max_windows, args.synthetic_mano)
+             args.max_windows, args.synthetic_mano,
+             mesh_render=args.mesh_render)
 
 
 if __name__ == "__main__":

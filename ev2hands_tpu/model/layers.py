@@ -135,6 +135,8 @@ class SetAbstractionMsg(nn.Module):
     # Use the fused Pallas grouping kernel for scales where it measured
     # faster than the XLA dense path (see _use_pallas_scale); TPU eval only.
     pallas_grouping: bool = True
+    # Point-tile size for the block-sparse kernel (see ModelConfig.pallas_nb).
+    pallas_nb: int = 256
 
     @nn.compact
     def __call__(
@@ -296,7 +298,7 @@ class SetAbstractionMsg(nn.Module):
         mlp = self.mlps[i]
         return (
             len(mlp) == 3
-            and n_points % 256 == 0       # point-tile divisibility
+            and n_points % self.pallas_nb == 0  # point-tile divisibility
             and n_points <= 8192          # full-resolution morton keys +
                                           # validated VMEM sizing (the kernel
                                           # is exactness-tested through 4096)
@@ -331,8 +333,9 @@ class SetAbstractionMsg(nn.Module):
         )
         sel = dense_selection_mask(xyz, new_xyz, radius, k, sqrdists=sqrdists)
         sel_p = permute_columns(sel, perm)
-        act = tile_activity(sel_p, 256)
-        return dense_msg_scale_pallas_sparse(folded, sel_p, act, sb=8, nb=256)
+        act = tile_activity(sel_p, self.pallas_nb)
+        return dense_msg_scale_pallas_sparse(
+            folded, sel_p, act, sb=8, nb=self.pallas_nb)
 
     def _event_scale(self, i, xyz, points, new_xyz, radius, k):
         """Dense scale with the event axis sharded over ``self.event_mesh``:

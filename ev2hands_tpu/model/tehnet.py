@@ -69,6 +69,7 @@ class ManoRegressor(nn.Module):
     dense_chunk: int = 32
     event_mesh: Optional[object] = None
     pallas_grouping: bool = True
+    pallas_nb: int = 256
 
     @nn.compact
     def __call__(
@@ -89,6 +90,7 @@ class ManoRegressor(nn.Module):
             dense_chunk=self.dense_chunk,
             event_mesh=self.event_mesh,
             pallas_grouping=self.pallas_grouping,
+            pallas_nb=self.pallas_nb,
             name="sa1",
         )(xyz, features, train, fps_key, fps_idx)
         _, l2_points = SetAbstractionAll(mlp=(256, 512), name="sa2")(
@@ -151,6 +153,7 @@ class TEHNet(nn.Module):
             dense_chunk=cfg.dense_chunk,
             event_mesh=emesh,
             pallas_grouping=cfg.pallas_grouping,
+            pallas_nb=cfg.pallas_nb,
             name="sa1",
         )(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = SetAbstractionMsg(
@@ -163,6 +166,7 @@ class TEHNet(nn.Module):
             dense_chunk=cfg.dense_chunk,
             event_mesh=emesh,
             pallas_grouping=cfg.pallas_grouping,
+            pallas_nb=cfg.pallas_nb,
             name="sa2",
         )(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = SetAbstractionAll(mlp=(256, 512, 1024), name="sa3")(
@@ -236,6 +240,7 @@ class TEHNet(nn.Module):
                 dense_train=cfg.dense_train,
                 dense_chunk=cfg.regressor_dense_chunk,
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
+                pallas_nb=cfg.pallas_nb,
                 name="left_mano_regressor",
             )(l0_xyz, left_features, train, keys[2], reg_fps_idx)
             right = ManoRegressor(
@@ -243,6 +248,7 @@ class TEHNet(nn.Module):
                 dense_train=cfg.dense_train,
                 dense_chunk=cfg.regressor_dense_chunk,
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
+                pallas_nb=cfg.pallas_nb,
                 name="right_mano_regressor",
             )(l0_xyz, right_features, train, keys[3], reg_fps_idx)
 

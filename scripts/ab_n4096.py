@@ -6,6 +6,7 @@ windows/s with `pallas_grouping` on vs off at both window sizes on the real
 chip, with bench.py's hoist-proof key-perturbed on-device timing.
 
 Usage: python scripts/ab_n4096.py [--batch 16] [--iters 10]
+       python scripts/ab_n4096.py --nb 128 256 512   # point-tile-size sweep
 """
 
 import argparse
@@ -16,7 +17,7 @@ import time
 sys.path.insert(0, ".")
 
 
-def measure(n_points, batch_size, iters, pallas):
+def measure(n_points, batch_size, iters, pallas, nb=256):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -29,7 +30,7 @@ def measure(n_points, batch_size, iters, pallas):
     cfg = DEFAULT_CONFIG.replace(
         model=DEFAULT_CONFIG.model.__class__(
             n_points=n_points, fps_deterministic=True,
-            pallas_grouping=pallas,
+            pallas_grouping=pallas, pallas_nb=nb,
         )
     )
     net = TEHNet(cfg=cfg.model)
@@ -83,13 +84,20 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--n_points", type=int, nargs="*", default=[2048, 4096])
+    ap.add_argument("--nb", type=int, nargs="*", default=None,
+                    help="sweep the sparse kernel's point-tile size instead "
+                         "of the on/off A/B")
     args = ap.parse_args()
 
     for n in args.n_points:
-        for pallas in (True, False):
-            wps, ms = measure(n, args.batch, args.iters, pallas)
+        if args.nb:
+            variants = [(True, nb) for nb in args.nb]
+        else:
+            variants = [(True, 256), (False, 256)]
+        for pallas, nb in variants:
+            wps, ms = measure(n, args.batch, args.iters, pallas, nb=nb)
             print(json.dumps({
-                "n_points": n, "pallas_grouping": pallas,
+                "n_points": n, "pallas_grouping": pallas, "nb": nb,
                 "batch": args.batch,
                 "windows_per_sec": round(wps, 1),
                 "ms_per_batch": round(ms, 2),

@@ -175,6 +175,24 @@ def test_demo_renders_video(recording, small_cfg, tmp_path, monkeypatch):
     assert n == 3
 
 
+def test_demo_device_mesh_render(recording, small_cfg, tmp_path, monkeypatch):
+    """--mesh_render device: the mesh pane is z-buffer-rasterized on-device
+    inside the one jitted demo step (datagen/rasterizer.rasterize_mesh) and
+    the video still carries every window."""
+    import ev2hands_tpu.demo as demo_mod
+
+    monkeypatch.setattr(demo_mod, "DEFAULT_CONFIG", small_cfg)
+    out, n = demo_mod.run_demo(
+        recording, checkpoint_path="", out_path=str(tmp_path / "demo_dev.mp4"),
+        batch_size=2, max_windows=3, synthetic_mano=True,
+        mesh_render="device",
+    )
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    assert n == 3
+
+
 def test_finetune_resume_restores_state(recording, small_cfg, tmp_path, monkeypatch):
     """finetune(resume_dir=...) restores params, batch stats, optimizer state
     and the step counter from a previous run's checkpoint (reference
