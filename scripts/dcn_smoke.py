@@ -123,6 +123,14 @@ def run_worker(args) -> None:
             json.dump({"loss": loss, "grad_norm": gnorm,
                        "n_devices": len(jax.devices()),
                        "n_processes": args.num_processes}, f)
+    # Explicit cross-process sync BEFORE shutdown: on an oversubscribed host
+    # the processes can otherwise reach jax.distributed.shutdown() minutes
+    # apart (process 0 also writes the JSON), and the coordination service's
+    # shutdown barrier times out, CHECK-failing the early process. After this
+    # collective both processes enter shutdown within milliseconds.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("dcn_smoke_pre_shutdown")
     jax.distributed.shutdown()
 
 
