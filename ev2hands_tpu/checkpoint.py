@@ -312,28 +312,78 @@ def flax_to_torch(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 class NativeCheckpointer:
-    """Orbax-backed train-state checkpointing (save-on-best, resumable)."""
+    """Orbax-backed train-state checkpointing (save-on-best, resumable).
 
-    def __init__(self, directory: str):
+    Saves are **asynchronous** by default: ``save`` returns once the state is
+    staged to host memory and serialization/disk-write continue on a
+    background thread, so the train loop's next steps overlap the write (the
+    reference's ``torch.save`` — ``train.py:217`` — blocks the loop for the
+    full serialize+write). At most one save is in flight: a new ``save``
+    first joins the previous one, and ``wait()`` (called by the train/finetune
+    loops before exit and before any restore) joins the last. ``async_save=
+    False`` restores fully synchronous semantics."""
+
+    def __init__(self, directory: str, async_save: bool = True):
         import orbax.checkpoint as ocp
 
         self._dir = os.path.abspath(directory)
         os.makedirs(self._dir, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        self._async = async_save
+        if async_save:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        else:
+            self._ckptr = ocp.StandardCheckpointer()
 
-    def save(self, step: int, state: Dict[str, Any]):
+    @staticmethod
+    def _coerce(tree):
+        """StandardSave/StandardRestore reject bare python/numpy scalars
+        (int, np.int64, ...); lift them to 0-d arrays, which round-trip and
+        still satisfy ``int(...)``/``float(...)`` at the call sites."""
+        import jax
+
+        return jax.tree.map(
+            lambda x: np.asarray(x)
+            if isinstance(x, (int, float, np.number)) else x,
+            tree,
+        )
+
+    def save(self, step: int, state: Dict[str, Any], block: bool = False):
+        import orbax.checkpoint as ocp
+
         path = os.path.join(self._dir, f"step_{step:09d}")
-        self._ckptr.save(path, state, force=True)
+        if self._async:
+            # one outstanding save max — join the previous before staging
+            self._ckptr.wait_until_finished()
+            self._ckptr.save(
+                path, args=ocp.args.StandardSave(self._coerce(state)), force=True
+            )
+            if block:
+                self._ckptr.wait_until_finished()
+        else:
+            self._ckptr.save(path, state, force=True)
+            self._ckptr.wait_until_finished()
+
+    def wait(self):
+        """Join any in-flight async save (no-op when synchronous/idle)."""
         self._ckptr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self.wait()  # in-flight async saves leave *.orbax-checkpoint-tmp dirs
         steps = [
-            int(d.split("_")[1])
+            int(m.group(1))
             for d in os.listdir(self._dir)
-            if d.startswith("step_") and os.path.isdir(os.path.join(self._dir, d))
+            if (m := re.fullmatch(r"step_(\d+)", d))
+            and os.path.isdir(os.path.join(self._dir, d))
         ]
         return max(steps) if steps else None
 
     def restore(self, step: int, template: Dict[str, Any]) -> Dict[str, Any]:
+        import orbax.checkpoint as ocp
+
+        self.wait()  # a restore-latest must see the last save committed
         path = os.path.join(self._dir, f"step_{step:09d}")
+        if self._async:
+            return self._ckptr.restore(
+                path, args=ocp.args.StandardRestore(self._coerce(template))
+            )
         return self._ckptr.restore(path, template)

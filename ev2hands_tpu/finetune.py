@@ -250,6 +250,7 @@ def finetune(
                 })
                 logger.info(f"saved best checkpoint at {it + 1}")
 
+    ckptr.wait()  # join the in-flight async save before returning
     return state
 
 

@@ -325,6 +325,7 @@ def train(cfg: Config = DEFAULT_CONFIG, synthetic_mano: bool = False,
                 })
                 logger.info(f"saved best checkpoint at {it + 1}")
 
+    ckptr.wait()  # join the in-flight async save before returning
     return state
 
 

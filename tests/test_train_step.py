@@ -164,6 +164,31 @@ def test_native_checkpoint_roundtrip(pipeline, tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_checkpoint_overlap(pipeline, tmp_path):
+    """Async saves (the default): back-to-back saves are serialized (a new
+    save joins the in-flight one), wait() commits the last, and both
+    checkpoints restore exactly — the train loop keeps stepping while the
+    background thread writes (the reference's torch.save blocks the loop)."""
+    from ev2hands_tpu.checkpoint import NativeCheckpointer
+
+    cfg, reader, hands, ctx, net, optimizer, new_state = pipeline
+    state = new_state()
+    ckptr = NativeCheckpointer(str(tmp_path / "ckpt"), async_save=True)
+    p1 = {"params": jax.device_get(state.params), "step": np.int64(1)}
+    p2 = jax.tree.map(lambda x: np.asarray(x) * 2.0, p1["params"])
+    ckptr.save(1, p1)                       # returns before the write lands
+    ckptr.save(2, {"params": p2, "step": np.int64(2)})  # joins save 1 first
+    ckptr.wait()
+    assert ckptr.latest_step() == 2
+    r1 = ckptr.restore(1, p1)
+    r2 = ckptr.restore(2, {"params": p2, "step": np.int64(0)})
+    for a, b in zip(jax.tree.leaves(r1["params"]), jax.tree.leaves(p1["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(r2["params"]), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(r2["step"]) == 2
+
+
 def test_train_resume(pipeline, tmp_path, monkeypatch):
     """train() with resume_dir continues from the saved step and best score."""
     from ev2hands_tpu.checkpoint import NativeCheckpointer
