@@ -110,8 +110,11 @@ class ModelConfig:
     # Point-tile size of the block-sparse grouping kernel (points per
     # pl.when-guarded tile; larger tiles -> fewer, bigger MXU dots but a
     # coarser activity skip). The chain is per-dot-issue-bound on v5e, so
-    # nb=256 beat nb=128 (19.8 vs 24.2 ms/scale); see scripts/ab_n4096.py
-    # --nb for the sweep harness.
+    # nb=256 beat nb=128, but the benefit saturates at ~2048-row dots:
+    # TPU sweep at N=2048 B=16 (scripts/ab_n4096.py --nb): 128 -> 333.1,
+    # 256 -> 380.5, 512 -> 379.2 windows/s. 256 keeps the finer skip
+    # granularity at equal speed (and a larger sb would grow the dots the
+    # same way 512 does, so sb=8 stays too).
     pallas_nb: int = 256
     # Run the two MANO regressor heads as one h-stacked pass in the dense
     # eval path (shared FPS/selection, folded BN, batched matmuls) — exact
