@@ -116,6 +116,20 @@ class ModelConfig:
     # granularity at equal speed (and a larger sb would grow the dots the
     # same way 512 does, so sb=8 stays too).
     pallas_nb: int = 256
+    # Run ALL of a layer's MSG scales in ONE block-sparse kernel pass
+    # (block-diagonal stacked weights, union tile activity): the chain is
+    # per-dot-issue-bound and per-scale passes pay dots ~ SUM of activity
+    # fractions while one fused pass pays ~ the UNION (~ the largest
+    # scale's, radii being nested). MEASURED NEUTRAL-TO-SLIGHTLY-SLOWER
+    # end-to-end on TPU v5e despite a 9% standalone-forward win on
+    # synthetic gaussian clouds (honest pipeline A/B, two interleaved
+    # runs each: N=2048 B=32 383.0/380.1 off vs 375.7/380.8 on w/s;
+    # N=4096 B=16 218 off vs 216 on): on real ERPC-clustered points the
+    # nested radii make the union activity ~ the sum already, and the
+    # stacked C1t-wide dots cost what the saved issues buy back. Default
+    # OFF; kept as a tested exploration (exactness vs the per-scale
+    # kernel pinned by test_fused_scales_kernel_matches_per_scale_interpret).
+    pallas_fused_msg: bool = False
     # Run the two MANO regressor heads as one h-stacked pass in the dense
     # eval path (shared FPS/selection, folded BN, batched matmuls) — exact
     # eval numerics (tested). MEASURED SLOWER on TPU v5e than the two plain

@@ -137,6 +137,8 @@ class SetAbstractionMsg(nn.Module):
     pallas_grouping: bool = True
     # Point-tile size for the block-sparse kernel (see ModelConfig.pallas_nb).
     pallas_nb: int = 256
+    # One fused kernel pass over all scales (see ModelConfig.pallas_fused_msg).
+    pallas_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -215,6 +217,20 @@ class SetAbstractionMsg(nn.Module):
             src = (jnp.concatenate([points, xyz], axis=-1)
                    if points is not None else xyz)
             gathered = index_points(src, cat_idx)      # [B, S, sum(K), D+3]
+
+        if (
+            use_dense and self.pallas_fused and perm is not None
+            and all(
+                self._use_pallas_scale(i, xyz.shape[1])
+                for i in range(len(self.radius_list))
+            )
+        ):
+            # one fused kernel pass over every scale (union tile activity,
+            # block-diagonal stacked weights) — emits the scales already in
+            # concatenation order
+            return new_xyz, self._pallas_scales_fused(
+                xyz, new_xyz, sqrdists, perm, xyz_p, points_p
+            )
 
         outs = []
         k_off = 0
@@ -336,6 +352,47 @@ class SetAbstractionMsg(nn.Module):
         act = tile_activity(sel_p, self.pallas_nb)
         return dense_msg_scale_pallas_sparse(
             folded, sel_p, act, sb=8, nb=self.pallas_nb)
+
+    def _pallas_scales_fused(self, xyz, new_xyz, sqrdists, perm,
+                             xyz_p, points_p):
+        """All scales in one block-sparse kernel pass: per-scale BN folds
+        into stacked (block-diagonal) weights, per-scale selection masks are
+        computed in XLA and column-permuted as usual, and the kernel visits
+        the UNION of the per-scale tile activities — 2 dot issues per
+        union-active (centroid, tile) instead of 2 per scale-active one
+        (the chain is issue-bound; see ops/pallas_grouping.py v6)."""
+        from ev2hands_tpu.ops.pallas_grouping import (
+            dense_msg_fused_scales_pallas_sparse,
+            dense_selection_mask,
+            fold_scale_params,
+            permute_columns,
+            stack_folded_scales,
+            tile_activity,
+        )
+
+        p = self.variables["params"]
+        bs = self.variables["batch_stats"]
+        folded_list, sels = [], []
+        for i, radius in enumerate(self.radius_list):
+            conv_params = [p[f"conv_{i}_{j}"] for j in range(3)]
+            bn_params = [
+                {**p[f"bn_{i}_{j}"], **bs[f"bn_{i}_{j}"]} for j in range(3)
+            ]
+            folded_list.append(fold_scale_params(
+                points_p, xyz_p, new_xyz, conv_params, bn_params
+            ))
+            sel = dense_selection_mask(
+                xyz, new_xyz, radius, self.nsample_list[i], sqrdists=sqrdists
+            )
+            sels.append(permute_columns(sel, perm))
+        stacked, sections = stack_folded_scales(folded_list)
+        sel_all = jnp.stack(sels, axis=1)                    # [B, R, S, N]
+        act_union = jnp.stack(
+            [tile_activity(s, self.pallas_nb) for s in sels], axis=1
+        ).max(axis=1)
+        return dense_msg_fused_scales_pallas_sparse(
+            stacked, sel_all, act_union, sections, sb=8, nb=self.pallas_nb
+        )
 
     def _event_scale(self, i, xyz, points, new_xyz, radius, k):
         """Dense scale with the event axis sharded over ``self.event_mesh``:

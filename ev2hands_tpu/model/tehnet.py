@@ -70,6 +70,7 @@ class ManoRegressor(nn.Module):
     event_mesh: Optional[object] = None
     pallas_grouping: bool = True
     pallas_nb: int = 256
+    pallas_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -91,6 +92,7 @@ class ManoRegressor(nn.Module):
             event_mesh=self.event_mesh,
             pallas_grouping=self.pallas_grouping,
             pallas_nb=self.pallas_nb,
+            pallas_fused=self.pallas_fused,
             name="sa1",
         )(xyz, features, train, fps_key, fps_idx)
         _, l2_points = SetAbstractionAll(mlp=(256, 512), name="sa2")(
@@ -154,6 +156,7 @@ class TEHNet(nn.Module):
             event_mesh=emesh,
             pallas_grouping=cfg.pallas_grouping,
             pallas_nb=cfg.pallas_nb,
+            pallas_fused=cfg.pallas_fused_msg,
             name="sa1",
         )(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = SetAbstractionMsg(
@@ -167,6 +170,7 @@ class TEHNet(nn.Module):
             event_mesh=emesh,
             pallas_grouping=cfg.pallas_grouping,
             pallas_nb=cfg.pallas_nb,
+            pallas_fused=cfg.pallas_fused_msg,
             name="sa2",
         )(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = SetAbstractionAll(mlp=(256, 512, 1024), name="sa3")(
@@ -241,6 +245,7 @@ class TEHNet(nn.Module):
                 dense_chunk=cfg.regressor_dense_chunk,
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
                 pallas_nb=cfg.pallas_nb,
+                pallas_fused=cfg.pallas_fused_msg,
                 name="left_mano_regressor",
             )(l0_xyz, left_features, train, keys[2], reg_fps_idx)
             right = ManoRegressor(
@@ -249,6 +254,7 @@ class TEHNet(nn.Module):
                 dense_chunk=cfg.regressor_dense_chunk,
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
                 pallas_nb=cfg.pallas_nb,
+                pallas_fused=cfg.pallas_fused_msg,
                 name="right_mano_regressor",
             )(l0_xyz, right_features, train, keys[3], reg_fps_idx)
 

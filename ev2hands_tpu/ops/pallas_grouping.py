@@ -702,3 +702,164 @@ def dense_msg_scale_pallas_2d_batched(
         scratch_shapes=[pltpu.VMEM((sb * N, C1), jnp.float32)],
         interpret=interpret,
     )(folded.u, folded.v, sel, folded.W2, folded.b2, folded.W3, folded.b3)
+
+
+# ---------------------------------------------------------------------------
+# v6 (exploration): one block-sparse pass over ALL MSG scales of a layer
+#
+# Status: MEASURED NEUTRAL end-to-end (default off). Standalone model
+# forward on synthetic gaussian clouds won 54.6 -> 49.7 ms/batch at B=32,
+# but the honest full-pipeline A/B on real ERPC-rasterized points is a
+# wash-to-slight-loss (N=2048 B=32: 383.0/380.1 per-scale vs 375.7/380.8
+# fused w/s; N=4096 B=16: 218 vs 216) — with nested radii the union tile
+# activity is already ~ the largest scale's share of the SUM on clustered
+# points, and the stacked C1t-wide first-layer dot costs back the saved
+# issues. Kept wired behind ModelConfig.pallas_fused_msg with an
+# interpret-mode exactness test, per the repo's documented-exploration
+# convention.
+# ---------------------------------------------------------------------------
+
+def stack_folded_scales(folded_list):
+    """Per-scale ``FoldedScale`` -> one stacked scale + C3 section widths.
+
+    ``u``/``v``/biases concatenate along features; ``W2``/``W3`` become
+    block-diagonal, so ONE conv-chain dot pair per (centroid, tile) serves
+    every scale at once. The off-diagonal zeros add only exact +0.0 terms
+    to each accumulation, so per-scale numerics survive (the FLOP waste is
+    free here: the chain is per-dot-issue-bound, see the module docstring).
+    """
+    C1s = [f.W2.shape[0] for f in folded_list]
+    C2s = [f.W2.shape[1] for f in folded_list]
+    C3s = [f.W3.shape[1] for f in folded_list]
+
+    def blockdiag(ws, rows, cols):
+        W = jnp.zeros((sum(rows), sum(cols)), ws[0].dtype)
+        r0 = c0 = 0
+        for w, r, c in zip(ws, rows, cols):
+            W = W.at[r0:r0 + r, c0:c0 + c].set(w)
+            r0, c0 = r0 + r, c0 + c
+        return W
+
+    stacked = FoldedScale(
+        u=jnp.concatenate([f.u for f in folded_list], axis=-1),
+        v=jnp.concatenate([f.v for f in folded_list], axis=-1),
+        W2=blockdiag([f.W2 for f in folded_list], C1s, C2s),
+        b2=jnp.concatenate([f.b2 for f in folded_list]),
+        W3=blockdiag([f.W3 for f in folded_list], C2s, C3s),
+        b3=jnp.concatenate([f.b3 for f in folded_list]),
+    )
+    return stacked, tuple(C3s)
+
+
+def _kernel_2d_sparse_fused(
+    act_ref,     # [1, sb, nt] int32 UNION activity (SMEM scalars)
+    u_ref,       # [1, N, C1t]  stacked per-point first layers, Morton rows
+    v_ref,       # [1, sb, C1t]
+    sel_ref,     # [1, R, sb, N] per-scale selection masks, Morton columns
+    W2_ref, b2_ref, W3_ref, b3_ref,   # block-diagonal stacks
+    out_ref,     # [1, sb, C3t]
+    *,
+    nb: int,
+    sections,    # per-scale C3 widths (static)
+):
+    """v4's tile loop, but one pass for all R scales of the layer.
+
+    The idea: the chain is per-dot-ISSUE-bound, and per-scale kernels
+    pay 2 dots per (centroid, tile) active *for that scale* — total issues
+    scale with the SUM of per-scale activity fractions. One pass over the
+    UNION of the activities does the same work in 2 dots per union-active
+    tile. A tile active for some scale but not scale r contributes exact
+    -1e30 rows to r's section (mask trick below), so per-scale pooling is
+    unchanged. See the section header above for why this measured neutral
+    end-to-end on real inputs."""
+    sb = v_ref.shape[1]
+    nt = u_ref.shape[1] // nb
+    C3t = out_ref.shape[2]
+    R = sel_ref.shape[1]
+    bounds = []
+    acc = 0
+    for w in sections:
+        acc += w
+        bounds.append(acc)
+    assert acc == C3t and len(sections) == R
+
+    for j in range(sb):                    # static unroll over centroids
+        out_ref[0, j, :] = jnp.full((C3t,), -1e30, jnp.float32)
+
+        def body(ti, _, j=j):
+            @pl.when(act_ref[0, j, ti] > 0)
+            def _():
+                u = u_ref[0, pl.ds(ti * nb, nb), :]            # [nb, C1t]
+                z = jax.nn.relu(u - v_ref[0, j, :][None, :])
+                h = jax.nn.relu(
+                    jnp.dot(z, W2_ref[...],
+                            preferred_element_type=jnp.float32)
+                    + b2_ref[...]
+                )
+                h = jax.nn.relu(
+                    jnp.dot(h, W3_ref[...],
+                            preferred_element_type=jnp.float32)
+                    + b3_ref[...]
+                )                                               # [nb, C3t]
+                # column c pools under scale r(c)'s mask: build the
+                # [nb, C3t] pair mask by selecting each scale's column
+                # range (R-1 elementwise selects, no extra dot issue)
+                col = jax.lax.broadcasted_iota(jnp.int32, (nb, C3t), 1)
+                m = sel_ref[0, R - 1, j, pl.ds(ti * nb, nb)][:, None]
+                for r in range(R - 2, -1, -1):
+                    mr = sel_ref[0, r, j, pl.ds(ti * nb, nb)][:, None]
+                    m = jnp.where(col < bounds[r], mr, m)
+                tile_max = jnp.max(h + (m - 1.0) * 1e30, axis=0)
+                out_ref[0, j, :] = jnp.maximum(out_ref[0, j, :], tile_max)
+
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sections", "sb", "nb", "interpret")
+)
+def dense_msg_fused_scales_pallas_sparse(
+    folded: FoldedScale,   # stacked via stack_folded_scales
+    sel_p: jax.Array,      # [B, R, S, N] per-scale masks, Morton columns
+    act: jax.Array,        # [B, S, N//nb] UNION tile activity
+    sections,              # per-scale C3 widths (static tuple)
+    sb: int = 8,
+    nb: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> [B, S, sum(C3)] — all R scales' pooled features in the layer's
+    concatenation order (exactly what SetAbstractionMsg emits)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C1t = folded.u.shape
+    S = folded.v.shape[1]
+    C2t = folded.W2.shape[-1]
+    C3t = folded.W3.shape[-1]
+    R = sel_p.shape[1]
+    assert S % sb == 0 and N % nb == 0, (S, sb, N, nb)
+    assert sum(sections) == C3t and len(sections) == R
+    nt = N // nb
+
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_2d_sparse_fused, nb=nb, sections=tuple(sections)
+        ),
+        grid=(B, S // sb),
+        in_specs=[
+            pl.BlockSpec((1, sb, nt), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N, C1t), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, sb, C1t), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((1, R, sb, N), lambda b, s: (b, 0, s, 0)),
+            pl.BlockSpec((C1t, C2t), lambda b, s: (0, 0)),
+            pl.BlockSpec((C2t,), lambda b, s: (0,)),
+            pl.BlockSpec((C2t, C3t), lambda b, s: (0, 0)),
+            pl.BlockSpec((C3t,), lambda b, s: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, sb, C3t), lambda b, s: (b, s, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, C3t), jnp.float32),
+        interpret=interpret,
+    )(act, folded.u, folded.v, sel_p, folded.W2, folded.b2, folded.W3,
+      folded.b3)

@@ -317,3 +317,62 @@ def test_sparse_grouping_kernel_interpret_n4096(rng):
     )
     ref = _gather_reference(xyz, feats, new_xyz, r, K, conv, bn)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_scales_kernel_matches_per_scale_interpret(rng):
+    """v6 (one block-sparse pass over ALL MSG scales, block-diagonal stacked
+    weights, union tile activity) must match the concatenation of the
+    per-scale production kernel — incl. nested radii, different widths per
+    scale, and an empty neighborhood (point-0 fallback bit in the mask)."""
+    from ev2hands_tpu.ops.pallas_grouping import (
+        dense_msg_fused_scales_pallas_sparse,
+        dense_msg_scale_pallas_sparse,
+        dense_selection_mask,
+        fold_scale_params,
+        morton_perm,
+        permute_columns,
+        stack_folded_scales,
+        tile_activity,
+    )
+
+    B, S, N, nb = 2, 16, 256, 32
+    xyz = jnp.asarray(np.clip(rng.randn(B, N, 3) * 0.4, -1, 1), jnp.float32)
+    feats = jnp.asarray(rng.randn(B, N, 5), jnp.float32)
+    new_xyz = xyz[:, :S]
+    new_xyz = new_xyz.at[:, 3, :].set(jnp.asarray([7.0, 7.0, 7.0]))  # empty
+    radii = (0.15, 0.3, 0.6)
+    ks = (4, 8, 16)
+    widths = ((8, 8, 16), (16, 16, 32), (16, 24, 32))  # sa1-style mix
+
+    perm = morton_perm(xyz)
+    xyz_p = jnp.take_along_axis(xyz, perm[..., None], axis=1)
+    feats_p = jnp.take_along_axis(feats, perm[..., None], axis=1)
+
+    folded_list, sels, refs = [], [], []
+    for r, K, w in zip(radii, ks, widths):
+        conv, bn = _random_scale_params(rng, 8, widths=w)
+        folded = fold_scale_params(feats_p, xyz_p, new_xyz, conv, bn)
+        sel_p = permute_columns(
+            dense_selection_mask(xyz, new_xyz, r, K), perm
+        )
+        folded_list.append(folded)
+        sels.append(sel_p)
+        refs.append(dense_msg_scale_pallas_sparse(
+            folded, sel_p, tile_activity(sel_p, nb),
+            sb=8, nb=nb, interpret=True,
+        ))
+
+    stacked, sections = stack_folded_scales(folded_list)
+    assert sections == (16, 32, 32)
+    sel_all = jnp.stack(sels, axis=1)                       # [B, R, S, N]
+    act_union = jnp.stack(
+        [tile_activity(s, nb) for s in sels], axis=1
+    ).max(axis=1)
+    # the union skip must still skip something on a clustered cloud
+    assert float(jnp.mean(act_union.astype(jnp.float32))) < 0.95
+
+    got = dense_msg_fused_scales_pallas_sparse(
+        stacked, sel_all, act_union, sections, sb=8, nb=nb, interpret=True
+    )
+    ref = jnp.concatenate(refs, axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
