@@ -209,7 +209,8 @@ def measure_sa1_activity(events, npoint=512, nb=256):
     return [round(float(a), 4) for a in jax.device_get(acts(events))]
 
 
-def measure_train_step(batch_size=8, iters=10, n_points=2048):
+def measure_train_step(batch_size=8, iters=10, n_points=2048,
+                       **model_overrides):
     """Windows/s of the FULL jitted train step (device ERPC + fwd + MANO +
     losses incl. collision + bwd + Adam) — the published number for the
     training path (the inference headline uses the dense eval path)."""
@@ -229,7 +230,7 @@ def measure_train_step(batch_size=8, iters=10, n_points=2048):
 
     cfg = DEFAULT_CONFIG.replace(
         model=DEFAULT_CONFIG.model.__class__(
-            n_points=n_points, fps_deterministic=True
+            n_points=n_points, fps_deterministic=True, **model_overrides
         ),
         train=DEFAULT_CONFIG.train.__class__(batch_size=batch_size),
     )

@@ -116,6 +116,23 @@ class ModelConfig:
     # granularity at equal speed (and a larger sb would grow the dots the
     # same way 512 does, so sb=8 stays too).
     pallas_nb: int = 256
+    # Replace the gather-mode neighbor materialization (the TRAIN path's
+    # single largest op: index_points of [B, S, sum(K)] rows, measured
+    # ~18 ns/row on v5e — lane gathers, not bandwidth) with the block-sparse
+    # one-hot MXU gather kernel (ops/pallas_gather.py): ball queries run in
+    # Morton-permuted column space via query_ball_point_permuted (selection
+    # semantics bitwise-unchanged), and each centroid's K slots are gathered
+    # with one bf16 MXU dot per ACTIVE point tile (f32-exact via the
+    # hi|mid|lo channel stack). Applies to narrow-channel scales (3*(D+3)
+    # <= 128 lanes: TEHNet sa1 + both regressor sa1s); sa2's 323-channel
+    # source stays on the XLA gather. TPU only; forward is bitwise-equal to
+    # index_points (tested in interpret mode AND on-chip), backward keeps
+    # XLA's scatter-add. Default pending the on-TPU step-level A/B
+    # (scripts/ab_pallas_gather.py).
+    pallas_gather: bool = False
+    # Point-tile size of the one-hot gather kernel (smaller tiles -> tighter
+    # activity skip; each tile costs one [K, nb] @ [nb, 3C] MXU pass).
+    pallas_gather_nb: int = 128
     # Run ALL of a layer's MSG scales in ONE block-sparse kernel pass
     # (block-diagonal stacked weights, union tile activity): the chain is
     # per-dot-issue-bound and per-scale passes pay dots ~ SUM of activity

@@ -32,6 +32,7 @@ from ev2hands_tpu.ops.pointnet import (
     group_all,
     index_points,
     query_ball_point,
+    query_ball_point_permuted,
     square_distance,
     three_nn_interpolate,
 )
@@ -139,6 +140,10 @@ class SetAbstractionMsg(nn.Module):
     pallas_nb: int = 256
     # One fused kernel pass over all scales (see ModelConfig.pallas_fused_msg).
     pallas_fused: bool = False
+    # Gather-mode (train-path) neighbor materialization through the
+    # block-sparse one-hot MXU gather (see ModelConfig.pallas_gather).
+    pallas_gather: bool = True
+    pallas_gather_nb: int = 128
 
     @nn.compact
     def __call__(
@@ -183,9 +188,15 @@ class SetAbstractionMsg(nn.Module):
             use_dense_train and self.event_mesh is not None
             and not self.is_initializing()
         )
+        gather_mode = (
+            not use_dense and not use_dense_train and not use_event
+        )
+        use_pgather = gather_mode and self._use_pallas_gather(
+            xyz.shape[1], 0 if points is None else points.shape[-1]
+        )
         sqrdists = None
         perm = xyz_p = points_p = None
-        if not use_event and not use_event_train:
+        if (not use_event and not use_event_train) and not use_pgather:
             # one [B, S, N] distance tensor shared by every scale (both the
             # dense mask path and the gather-mode ball query consume it)
             sqrdists = square_distance(new_xyz, xyz)
@@ -203,9 +214,45 @@ class SetAbstractionMsg(nn.Module):
                 points_p = jnp.take_along_axis(points, perm[..., None], axis=1)
 
         gathered = None
-        if not use_dense and not use_dense_train and not use_event:
+        if gather_mode and use_pgather:
+            # Gather mode on TPU: ball-query in Morton-permuted column space
+            # (selection bitwise-unchanged — the packed top_k score is the
+            # ORIGINAL index) and materialize the neighbors with the
+            # block-sparse one-hot MXU kernel, bitwise-equal to the
+            # index_points path below but skipping the ~18 ns/row lane
+            # gather (ops/pallas_gather.py).
+            from ev2hands_tpu.ops.pallas_gather import (
+                grouped_gather,
+                pos_tile_activity,
+            )
+            from ev2hands_tpu.ops.pallas_grouping import morton_perm
+
+            perm_g = morton_perm(xyz)
+            xyz_pg = jnp.take_along_axis(xyz, perm_g[..., None], axis=1)
+            sqrdists_p = square_distance(new_xyz, xyz_pg)
+            poss = [
+                query_ball_point_permuted(
+                    r, self.nsample_list[i], perm_g, sqrdists_p
+                )
+                for i, r in enumerate(self.radius_list)
+            ]
+            cat_pos = jnp.concatenate(poss, axis=-1)   # [B, S, sum(K)]
+            if points is not None:
+                points_pg = jnp.take_along_axis(
+                    points, perm_g[..., None], axis=1
+                )
+                src_p = jnp.concatenate([points_pg, xyz_pg], axis=-1)
+            else:
+                src_p = xyz_pg
+            act = pos_tile_activity(
+                cat_pos, self.pallas_gather_nb, xyz.shape[1]
+            )
+            gathered = grouped_gather(
+                src_p, cat_pos, act, nb=self.pallas_gather_nb
+            )                                          # [B, S, sum(K), D+3]
+        elif gather_mode:
             # Gather mode: ONE gather for all scales. Six small index_points
-            # calls measured 23.0 ms vs 16.7 ms for one concatenated gather
+            # calls measured 23.0 vs 16.7 ms for one concatenated gather
             # at B=8, S=512, N=2048 on v5e — per-call gather overhead, not
             # bandwidth. Values are identical (same indices, same source).
             idxs = [
@@ -290,6 +337,27 @@ class SetAbstractionMsg(nn.Module):
             outs.append(jnp.max(x, axis=2))  # [B, S, width]
 
         return new_xyz, jnp.concatenate(outs, axis=-1)
+
+    def _use_pallas_gather(self, n_points: int, d: int) -> bool:
+        """Gate for the one-hot MXU gather (ops/pallas_gather.py) on the
+        gather-mode (train) path: TPU, narrow source channels (the f32
+        exactness stack 3*(D+3) must fit one 128-lane MXU pass — TEHNet sa1
+        and the regressor sa1s qualify, sa2's 320-feature source does not),
+        and tile-divisible N within the Morton key range."""
+        if not self.pallas_gather or self.is_initializing():
+            return False
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            return False
+        nb = self.pallas_gather_nb
+        return (
+            3 * (d + 3) <= 128
+            and n_points % nb == 0
+            and n_points >= 2 * nb    # no skip to exploit below two tiles
+            and n_points <= 8192      # full-resolution morton keys
+            and self.npoint % 8 == 0  # sb divisibility
+        )
 
     def _use_pallas_scale(self, i: int, n_points: int) -> bool:
         """Gate for the block-sparse Pallas grouping kernel

@@ -71,6 +71,8 @@ class ManoRegressor(nn.Module):
     pallas_grouping: bool = True
     pallas_nb: int = 256
     pallas_fused: bool = False
+    pallas_gather: bool = True
+    pallas_gather_nb: int = 128
 
     @nn.compact
     def __call__(
@@ -93,6 +95,8 @@ class ManoRegressor(nn.Module):
             pallas_grouping=self.pallas_grouping,
             pallas_nb=self.pallas_nb,
             pallas_fused=self.pallas_fused,
+            pallas_gather=self.pallas_gather,
+            pallas_gather_nb=self.pallas_gather_nb,
             name="sa1",
         )(xyz, features, train, fps_key, fps_idx)
         _, l2_points = SetAbstractionAll(mlp=(256, 512), name="sa2")(
@@ -157,6 +161,8 @@ class TEHNet(nn.Module):
             pallas_grouping=cfg.pallas_grouping,
             pallas_nb=cfg.pallas_nb,
             pallas_fused=cfg.pallas_fused_msg,
+            pallas_gather=cfg.pallas_gather,
+            pallas_gather_nb=cfg.pallas_gather_nb,
             name="sa1",
         )(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = SetAbstractionMsg(
@@ -171,6 +177,8 @@ class TEHNet(nn.Module):
             pallas_grouping=cfg.pallas_grouping,
             pallas_nb=cfg.pallas_nb,
             pallas_fused=cfg.pallas_fused_msg,
+            pallas_gather=cfg.pallas_gather,
+            pallas_gather_nb=cfg.pallas_gather_nb,
             name="sa2",
         )(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = SetAbstractionAll(mlp=(256, 512, 1024), name="sa3")(
@@ -246,6 +254,8 @@ class TEHNet(nn.Module):
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
                 pallas_nb=cfg.pallas_nb,
                 pallas_fused=cfg.pallas_fused_msg,
+                pallas_gather=cfg.pallas_gather,
+                pallas_gather_nb=cfg.pallas_gather_nb,
                 name="left_mano_regressor",
             )(l0_xyz, left_features, train, keys[2], reg_fps_idx)
             right = ManoRegressor(
@@ -255,6 +265,8 @@ class TEHNet(nn.Module):
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
                 pallas_nb=cfg.pallas_nb,
                 pallas_fused=cfg.pallas_fused_msg,
+                pallas_gather=cfg.pallas_gather,
+                pallas_gather_nb=cfg.pallas_gather_nb,
                 name="right_mano_regressor",
             )(l0_xyz, right_features, train, keys[3], reg_fps_idx)
 

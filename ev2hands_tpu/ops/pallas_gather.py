@@ -1,0 +1,168 @@
+"""Block-sparse one-hot MXU gather for grouped neighbors (TPU Pallas).
+
+The gather-mode training forward materializes each centroid's selected
+neighbors with ``index_points(src, cat_idx)`` — a [B, S, sum(K)] row gather
+that XLA lowers to the TPU's native lane gather at a measured ~18 ns/row
+(16.7 ms for the sa1 scales at B=8, N=2048: the single largest op of the
+train step). On TPU, a one-hot contraction on the MXU beats lane gathers
+(the same trade that makes ``three_nn_interpolate`` and the Pallas FPS fast),
+*if* the contraction is restricted to the few Morton-contiguous point tiles a
+centroid's radius ball actually touches — a full [K, N] one-hot per centroid
+would stream more MXU rows than the lane gather costs.
+
+Exactness (this path must be bitwise-identical to ``index_points``):
+a float32 value splits exactly into three bf16 terms (Dekker-style:
+``hi = bf16(x)``; the residual ``x - hi`` is exact in f32 and holds <= 16
+significant bits; two more bf16 terms capture it exactly). The three terms
+ride as *stacked output channels* of a single bf16 MXU pass — one [K, nb] @
+[nb, 3C] dot per active tile, f32 accumulation — and the final
+``hi + mid + lo`` re-sum is exact because the terms occupy disjoint mantissa
+segments. No extra MXU passes for exactness (the lane padding was idle
+anyway for C <= 42), so the cost stays ~(rows x active-tiles) M-cycles.
+
+The caller provides indices as positions into a Morton-permuted point axis;
+``query_ball_point_permuted`` (ops/pointnet.py) produces them with the
+reference's selection semantics intact (K lowest *original* indices,
+ascending slot order — ``pointnet2_utils.py:87-107``) by packing the original
+index as the top_k score while the columns ride in Morton order.
+
+Reference being replaced: the grouping gathers at
+``/root/reference/src/Ev2Hands/model/pointnet2_utils.py:168-196``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def split3_bf16(src: jax.Array) -> jax.Array:
+    """f32 [..., C] -> bf16 [..., 3C] with ``hi|mid|lo`` stacked on the
+    channel axis and ``hi + mid + lo == src`` exactly (for normal floats;
+    f32 subnormals below the bf16 subnormal range would lose bits — point
+    coordinates and event features are O(1))."""
+    hi = src.astype(jnp.bfloat16)
+    r1 = src - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid, lo], axis=-1)
+
+
+def pos_tile_activity(pos: jax.Array, nb: int, n: int) -> jax.Array:
+    """pos [B, S, K] positions into an n-point axis -> [B, S, n//nb] int32:
+    1 where the nb-point tile holds at least one of the centroid's slots."""
+    nt = n // nb
+    t = pos // nb
+    return jnp.max(
+        (t[..., None] == jnp.arange(nt, dtype=pos.dtype)).astype(jnp.int32),
+        axis=2,
+    )
+
+
+def _kernel(act_ref, idx_ref, src3_ref, out_ref, *, nb: int, C: int):
+    """Per centroid: visit only active point tiles; one bf16 MXU dot per
+    tile gathers all K slots at once (hi|mid|lo stacked as 3C lanes)."""
+    sb = idx_ref.shape[1]
+    K = idx_ref.shape[2]
+    nt = src3_ref.shape[1] // nb
+
+    for j in range(sb):                    # static unroll over centroids
+        out_ref[0, j, :, :] = jnp.zeros((K, C), jnp.float32)
+
+        def body(ti, _, j=j):
+            @pl.when(act_ref[0, j, ti] > 0)
+            def _():
+                local = idx_ref[0, j, :][:, None] - ti * nb       # [K, 1]
+                oh = (
+                    local
+                    == jax.lax.broadcasted_iota(jnp.int32, (K, nb), 1)
+                ).astype(jnp.bfloat16)                             # [K, nb]
+                t = src3_ref[0, pl.ds(ti * nb, nb), :]             # [nb, 3C]
+                g3 = jnp.dot(oh, t, preferred_element_type=jnp.float32)
+                # slots outside this tile contribute exact zeros — the
+                # accumulation across tiles is disjoint
+                out_ref[0, j, :, :] = out_ref[0, j, :, :] + (
+                    g3[:, :C] + g3[:, C : 2 * C] + g3[:, 2 * C :]
+                )
+
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "sb", "interpret"))
+def _onehot_gather(
+    src: jax.Array,   # [B, N, C] float32 (rows in the caller's point order)
+    idx: jax.Array,   # [B, S, K] int32 positions into N
+    act: jax.Array,   # [B, S, N//nb] int32 tile activity (pos_tile_activity)
+    nb: int = 128,
+    sb: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> [B, S, K, C] f32, bitwise-equal to ``index_points(src, idx)``."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = src.shape
+    S, K = idx.shape[1], idx.shape[2]
+    assert N % nb == 0 and S % sb == 0, (N, nb, S, sb)
+    assert 3 * C <= 128, f"C={C}: the 3C exactness stack must fit one N-pass"
+    nt = N // nb
+
+    src3 = split3_bf16(src)
+    return pl.pallas_call(
+        functools.partial(_kernel, nb=nb, C=C),
+        grid=(B, S // sb),
+        in_specs=[
+            pl.BlockSpec((1, sb, nt), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, sb, K), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((1, N, 3 * C), lambda b, s: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, sb, K, C), lambda b, s: (b, s, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, K, C), jnp.float32),
+        interpret=interpret,
+    )(act, idx, src3)
+
+
+def _gather_transpose(g: jax.Array, idx: jax.Array, n: int) -> jax.Array:
+    """VJP of the row gather w.r.t. src: scatter-add the cotangents. XLA's
+    own scatter-add lowering for gather gradients measured fine in the full
+    train step (a custom sort-based VJP measured SLOWER — see CLAUDE.md);
+    keep it for the backward."""
+    B = g.shape[0]
+    C = g.shape[-1]
+    gflat = g.reshape(B, -1, C)
+    iflat = idx.reshape(B, -1)
+    return jax.vmap(
+        lambda gg, ii: jnp.zeros((n, C), gg.dtype).at[ii].add(gg)
+    )(gflat, iflat)
+
+
+def grouped_gather(
+    src: jax.Array,
+    idx: jax.Array,
+    act: jax.Array,
+    nb: int = 128,
+    sb: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable block-sparse one-hot gather: forward on the MXU
+    (bitwise-equal to ``index_points(src, idx)``), backward through XLA's
+    scatter-add (idx/act are non-differentiable)."""
+    n = src.shape[1]
+
+    @jax.custom_vjp
+    def f(s):
+        return _onehot_gather(s, idx, act, nb=nb, sb=sb, interpret=interpret)
+
+    def fwd(s):
+        return f(s), None
+
+    def bwd(_, g):
+        return (_gather_transpose(g, idx, n),)
+
+    f.defvjp(fwd, bwd)
+    return f(src)

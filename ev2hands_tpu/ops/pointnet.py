@@ -117,6 +117,43 @@ def query_ball_point(
     return jnp.minimum(group_idx, N - 1)
 
 
+def query_ball_point_permuted(
+    radius: float, nsample: int, perm: jax.Array, sqrdists_p: jax.Array,
+) -> jax.Array:
+    """Ball query over a PERMUTED point axis -> positions into that axis.
+
+    ``perm`` [B, N] maps permuted position -> original index;
+    ``sqrdists_p`` [B, S, N] are squared distances with columns in permuted
+    order (``square_distance(new_xyz, xyz_p)``). Selection semantics are the
+    reference's exactly (``pointnet2_utils.py:87-107``): the score packed
+    into ``top_k`` is the *original* index, so the chosen multiset is the
+    ``nsample`` lowest-original-index in-radius points and the slot order is
+    ascending original index — while the returned values are the PERMUTED
+    positions ``top_k`` found them at, ready to gather from Morton-ordered
+    sources (ops/pallas_gather.py) with no index-translation gather.
+
+    Element [b, s, j] of ``sqrdists_p`` depends only on (query s, point
+    perm[j]), so the in-radius mask is bitwise the permutation of the
+    unpermuted mask and the selected multiset is bitwise-identical to
+    ``query_ball_point``'s.
+    """
+    B, S, N = sqrdists_p.shape
+    scores = jnp.where(
+        sqrdists_p <= radius**2, perm[:, None, :], N
+    )  # [B, S, N]; in-radius scores are distinct original indices
+    k = min(nsample, N)
+    neg_topk, pos = jax.lax.top_k(-scores, k)
+    vals = -neg_topk  # ascending original index; N marks unfilled slots
+    first = pos[:, :, :1]
+    pos = jnp.where(vals == N, first, pos)  # backfill w/ first in-radius pos
+    if k < nsample:
+        pad = jnp.broadcast_to(first, (B, S, nsample - k))
+        pos = jnp.concatenate([pos, pad], axis=-1)
+    # all-empty queries cannot happen when queries are sampled from the
+    # cloud (self-distance 0); clamp keeps indices in range regardless
+    return jnp.minimum(pos, N - 1)
+
+
 def sample_and_group(
     npoint: int,
     radius: float,
