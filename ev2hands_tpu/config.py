@@ -133,6 +133,11 @@ class ModelConfig:
     # Point-tile size of the one-hot gather kernel (smaller tiles -> tighter
     # activity skip; each tile costs one [K, nb] @ [nb, 3C] MXU pass).
     pallas_gather_nb: int = 128
+    # Backward of the one-hot gather: False = XLA's scatter-add (the lowering
+    # XLA itself picks for gather gradients, measured fine in the train
+    # step), True = the transposed one-hot kernel (oh^T @ g3 per active
+    # tile, same float math up to summation order). Pending on-TPU A/B.
+    pallas_gather_bwd: bool = False
     # Run ALL of a layer's MSG scales in ONE block-sparse kernel pass
     # (block-diagonal stacked weights, union tile activity): the chain is
     # per-dot-issue-bound and per-scale passes pay dots ~ SUM of activity

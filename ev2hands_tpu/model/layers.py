@@ -144,6 +144,9 @@ class SetAbstractionMsg(nn.Module):
     # block-sparse one-hot MXU gather (see ModelConfig.pallas_gather).
     pallas_gather: bool = True
     pallas_gather_nb: int = 128
+    # backward of the one-hot gather: XLA scatter-add (False) or the
+    # transposed one-hot kernel (True) — see ModelConfig.pallas_gather_bwd
+    pallas_gather_bwd: bool = False
 
     @nn.compact
     def __call__(
@@ -248,7 +251,8 @@ class SetAbstractionMsg(nn.Module):
                 cat_pos, self.pallas_gather_nb, xyz.shape[1]
             )
             gathered = grouped_gather(
-                src_p, cat_pos, act, nb=self.pallas_gather_nb
+                src_p, cat_pos, act, nb=self.pallas_gather_nb,
+                bwd="pallas" if self.pallas_gather_bwd else "xla",
             )                                          # [B, S, sum(K), D+3]
         elif gather_mode:
             # Gather mode: ONE gather for all scales. Six small index_points

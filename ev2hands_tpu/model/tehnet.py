@@ -73,6 +73,7 @@ class ManoRegressor(nn.Module):
     pallas_fused: bool = False
     pallas_gather: bool = True
     pallas_gather_nb: int = 128
+    pallas_gather_bwd: bool = False
 
     @nn.compact
     def __call__(
@@ -97,6 +98,7 @@ class ManoRegressor(nn.Module):
             pallas_fused=self.pallas_fused,
             pallas_gather=self.pallas_gather,
             pallas_gather_nb=self.pallas_gather_nb,
+            pallas_gather_bwd=self.pallas_gather_bwd,
             name="sa1",
         )(xyz, features, train, fps_key, fps_idx)
         _, l2_points = SetAbstractionAll(mlp=(256, 512), name="sa2")(
@@ -163,6 +165,7 @@ class TEHNet(nn.Module):
             pallas_fused=cfg.pallas_fused_msg,
             pallas_gather=cfg.pallas_gather,
             pallas_gather_nb=cfg.pallas_gather_nb,
+            pallas_gather_bwd=cfg.pallas_gather_bwd,
             name="sa1",
         )(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = SetAbstractionMsg(
@@ -179,6 +182,7 @@ class TEHNet(nn.Module):
             pallas_fused=cfg.pallas_fused_msg,
             pallas_gather=cfg.pallas_gather,
             pallas_gather_nb=cfg.pallas_gather_nb,
+            pallas_gather_bwd=cfg.pallas_gather_bwd,
             name="sa2",
         )(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = SetAbstractionAll(mlp=(256, 512, 1024), name="sa3")(
@@ -256,6 +260,7 @@ class TEHNet(nn.Module):
                 pallas_fused=cfg.pallas_fused_msg,
                 pallas_gather=cfg.pallas_gather,
                 pallas_gather_nb=cfg.pallas_gather_nb,
+                pallas_gather_bwd=cfg.pallas_gather_bwd,
                 name="left_mano_regressor",
             )(l0_xyz, left_features, train, keys[2], reg_fps_idx)
             right = ManoRegressor(
@@ -267,6 +272,7 @@ class TEHNet(nn.Module):
                 pallas_fused=cfg.pallas_fused_msg,
                 pallas_gather=cfg.pallas_gather,
                 pallas_gather_nb=cfg.pallas_gather_nb,
+                pallas_gather_bwd=cfg.pallas_gather_bwd,
                 name="right_mano_regressor",
             )(l0_xyz, right_features, train, keys[3], reg_fps_idx)
 

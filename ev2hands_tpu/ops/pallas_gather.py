@@ -127,6 +127,77 @@ def _onehot_gather(
     )(act, idx, src3)
 
 
+def _scatter_kernel(act_ref, idx_ref, g3_ref, out_ref, *, nb: int, C: int):
+    """Transpose of ``_kernel``: the full [N, C] cotangent block stays
+    resident across the centroid-chunk grid (consecutive revisits, init at
+    chunk 0); for each centroid x active tile, one bf16 MXU dot
+    (``oh^T [nb, K] @ g3 [K, 3C]``) scatter-adds all K slot cotangents into
+    the tile's rows. Slots hitting the same point row accumulate in the
+    MXU's f32 accumulator — same math as XLA's scatter-add up to float
+    summation order."""
+    sb = idx_ref.shape[1]
+    K = idx_ref.shape[2]
+    N = out_ref.shape[1]
+    nt = N // nb
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[0, :, :] = jnp.zeros((N, C), jnp.float32)
+
+    for j in range(sb):                    # static unroll over centroids
+
+        def body(ti, _, j=j):
+            @pl.when(act_ref[0, j, ti] > 0)
+            def _():
+                local = idx_ref[0, j, :][None, :] - ti * nb        # [1, K]
+                oh_t = (
+                    jax.lax.broadcasted_iota(jnp.int32, (nb, K), 0) == local
+                ).astype(jnp.bfloat16)                              # [nb, K]
+                g3 = g3_ref[0, j, :, :]                             # [K, 3C]
+                d3 = jnp.dot(oh_t, g3, preferred_element_type=jnp.float32)
+                rows = pl.ds(ti * nb, nb)
+                out_ref[0, rows, :] = out_ref[0, rows, :] + (
+                    d3[:, :C] + d3[:, C : 2 * C] + d3[:, 2 * C :]
+                )
+
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "nb", "sb", "interpret"))
+def _onehot_scatter_add(
+    g: jax.Array,     # [B, S, K, C] f32 cotangents of the gathered tensor
+    idx: jax.Array,   # [B, S, K] int32 positions into N
+    act: jax.Array,   # [B, S, N//nb] int32 tile activity
+    n: int,
+    nb: int = 128,
+    sb: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> [B, N, C] f32: sum of slot cotangents per source row (the gather
+    VJP), on the MXU instead of XLA's sequential scatter-add."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, S, K, C = g.shape
+    assert n % nb == 0 and S % sb == 0 and 3 * C <= 128, (n, nb, S, sb, C)
+
+    g3 = split3_bf16(g)
+    return pl.pallas_call(
+        functools.partial(_scatter_kernel, nb=nb, C=C),
+        grid=(B, S // sb),
+        in_specs=[
+            pl.BlockSpec((1, sb, n // nb), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, sb, K), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((1, sb, K, 3 * C), lambda b, s: (b, s, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, C), lambda b, s: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n, C), jnp.float32),
+        interpret=interpret,
+    )(act, idx, g3)
+
+
 def _gather_transpose(g: jax.Array, idx: jax.Array, n: int) -> jax.Array:
     """VJP of the row gather w.r.t. src: scatter-add the cotangents. XLA's
     own scatter-add lowering for gather gradients measured fine in the full
@@ -147,12 +218,16 @@ def grouped_gather(
     act: jax.Array,
     nb: int = 128,
     sb: int = 8,
+    bwd: str = "xla",
     interpret: bool = False,
 ) -> jax.Array:
     """Differentiable block-sparse one-hot gather: forward on the MXU
-    (bitwise-equal to ``index_points(src, idx)``), backward through XLA's
-    scatter-add (idx/act are non-differentiable)."""
+    (bitwise-equal to ``index_points(src, idx)``); backward either through
+    XLA's scatter-add (``bwd='xla'``) or the transposed one-hot kernel
+    (``bwd='pallas'`` — same float math up to summation order). idx/act are
+    non-differentiable."""
     n = src.shape[1]
+    assert bwd in ("xla", "pallas"), bwd
 
     @jax.custom_vjp
     def f(s):
@@ -161,8 +236,12 @@ def grouped_gather(
     def fwd(s):
         return f(s), None
 
-    def bwd(_, g):
+    def bwd_fn(_, g):
+        if bwd == "pallas":
+            return (_onehot_scatter_add(
+                g, idx, act, n, nb=nb, sb=sb, interpret=interpret
+            ),)
         return (_gather_transpose(g, idx, n),)
 
-    f.defvjp(fwd, bwd)
+    f.defvjp(fwd, bwd_fn)
     return f(src)

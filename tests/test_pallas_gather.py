@@ -90,6 +90,53 @@ def test_onehot_gather_vjp_matches(rng):
     )
 
 
+def test_onehot_scatter_add_matches_xla_interpret(rng):
+    from ev2hands_tpu.ops.pallas_gather import (
+        _gather_transpose,
+        _onehot_scatter_add,
+    )
+
+    B, N, S, K, nb, C = 2, 256, 16, 24, 64, 8
+    g = jnp.asarray(rng.randn(B, S, K, C).astype(np.float32))
+    # clustered + heavily duplicated indices (the backfill pattern): the
+    # kernel must accumulate same-row slot cotangents correctly
+    base = rng.randint(0, N, size=(B, S, 1))
+    idx = np.clip(
+        base + rng.randint(-8, 9, size=(B, S, K)), 0, N - 1
+    ).astype(np.int32)
+    idx[:, :, K // 2 :] = idx[:, :, :1]
+    idx = jnp.asarray(idx)
+    act = pos_tile_activity(idx, nb, N)
+
+    got = _onehot_scatter_add(g, idx, act, N, nb=nb, interpret=True)
+    want = _gather_transpose(g, idx, N)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-5
+    )
+
+
+def test_grouped_gather_pallas_bwd_matches_xla_bwd(rng):
+    B, N, S, K, nb = 2, 128, 8, 16, 32
+    src = jnp.asarray(rng.randn(B, N, 5).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, N, size=(B, S, K)).astype(np.int32))
+    act = pos_tile_activity(idx, nb, N)
+    ct = jnp.asarray(rng.randn(B, S, K, 5).astype(np.float32))
+
+    grads = {}
+    for mode in ("xla", "pallas"):
+        _, vjp = jax.vjp(
+            lambda s: grouped_gather(
+                src=s, idx=idx, act=act, nb=nb, bwd=mode, interpret=True
+            ),
+            src,
+        )
+        (grads[mode],) = vjp(ct)
+    np.testing.assert_allclose(
+        np.asarray(grads["pallas"]), np.asarray(grads["xla"]),
+        rtol=1e-6, atol=1e-5,
+    )
+
+
 def test_query_ball_point_permuted_selection_parity(rng):
     """Permuted-column ball query picks the SAME multiset in the SAME slot
     order as query_ball_point (the packed score is the original index), and
