@@ -78,7 +78,7 @@ def analytic_flops_per_window(n_points=2048, sa1_activity=None):
     return 2.0 * macs
 
 
-def measure_ours(batch_size=32, iters=20, n_points=2048):
+def measure_ours(batch_size=32, iters=20, n_points=2048, **model_overrides):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -89,7 +89,9 @@ def measure_ours(batch_size=32, iters=20, n_points=2048):
     from ev2hands_tpu.model import TEHNet, apply_mano
 
     cfg = DEFAULT_CONFIG.replace(
-        model=DEFAULT_CONFIG.model.__class__(n_points=n_points, fps_deterministic=True)
+        model=DEFAULT_CONFIG.model.__class__(
+            n_points=n_points, fps_deterministic=True, **model_overrides
+        )
     )
     net = TEHNet(cfg=cfg.model)
     hands = {s: h.params for s, h in

@@ -78,6 +78,16 @@ class ModelConfig:
     # everywhere). Training defaults to 'gather' for BatchNorm-stat parity;
     # see dense_train below for the dense TRAINING formulation.
     grouping: str = "dense"
+    # Per-layer grouping overrides (None -> fall back to ``grouping``).
+    # The formulations' eval numerics are identical, but their speed is not:
+    # the dense/sparse path streams whole point tiles per centroid while the
+    # gather path touches exactly the K selected slots — with the one-hot
+    # MXU gather (pallas_gather) the gather formulation becomes competitive
+    # for the big sa1 scales. Lets eval mix per layer; pending on-TPU A/B
+    # (scripts/ab_eval_grouping.py).
+    grouping_sa1: Optional[str] = None
+    grouping_sa2: Optional[str] = None
+    grouping_regressor: Optional[str] = None
     # Centroids per chunk in the dense grouping paths (memory/program-size
     # knob: pair tensors are [B, dense_chunk, N, C]; smaller chunks cap
     # memory, bigger chunks shrink the unrolled program/compile time).

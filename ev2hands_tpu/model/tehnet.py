@@ -140,6 +140,9 @@ class TEHNet(nn.Module):
     ) -> Dict[str, jax.Array]:
         cfg = self.cfg
         emesh = self.event_mesh if cfg.event_parallel else None
+        g_sa1 = cfg.grouping_sa1 or cfg.grouping
+        g_sa2 = cfg.grouping_sa2 or cfg.grouping
+        g_reg = cfg.grouping_regressor or cfg.grouping
         l0_points = events
         l0_xyz = events[..., :3]
         if cfg.mhlnes:
@@ -156,7 +159,7 @@ class TEHNet(nn.Module):
             radius_list=(0.1, 0.2, 0.4),
             nsample_list=(32, 64, 128),
             mlps=((32, 32, 64), (64, 64, 128), (64, 96, 128)),
-            grouping=cfg.grouping,
+            grouping=g_sa1,
             dense_train=cfg.dense_train,
             dense_chunk=cfg.dense_chunk,
             event_mesh=emesh,
@@ -173,7 +176,7 @@ class TEHNet(nn.Module):
             radius_list=(0.4, 0.8),
             nsample_list=(64, 128),
             mlps=((128, 128, 256), (128, 196, 256)),
-            grouping=cfg.grouping,
+            grouping=g_sa2,
             dense_train=cfg.dense_train,
             dense_chunk=cfg.dense_chunk,
             event_mesh=emesh,
@@ -221,7 +224,7 @@ class TEHNet(nn.Module):
         # fewer+larger MXU matmuls). Training and init use the flax modules,
         # which own the parameter tree.
         use_fused = (
-            cfg.fused_regressors and not train and cfg.grouping == "dense"
+            cfg.fused_regressors and not train and g_reg == "dense"
             and emesh is None and not self.is_initializing()
         )
         if use_fused:
@@ -252,7 +255,7 @@ class TEHNet(nn.Module):
 
                     reg_fps_idx = fps_auto(l0_xyz, REGRESSOR_NPOINT, key=None)
             left = ManoRegressor(
-                dropout=cfg.dropout_regressor, grouping=cfg.grouping,
+                dropout=cfg.dropout_regressor, grouping=g_reg,
                 dense_train=cfg.dense_train,
                 dense_chunk=cfg.regressor_dense_chunk,
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,
@@ -264,7 +267,7 @@ class TEHNet(nn.Module):
                 name="left_mano_regressor",
             )(l0_xyz, left_features, train, keys[2], reg_fps_idx)
             right = ManoRegressor(
-                dropout=cfg.dropout_regressor, grouping=cfg.grouping,
+                dropout=cfg.dropout_regressor, grouping=g_reg,
                 dense_train=cfg.dense_train,
                 dense_chunk=cfg.regressor_dense_chunk,
                 event_mesh=emesh, pallas_grouping=cfg.pallas_grouping,

@@ -233,6 +233,32 @@ def test_dense_grouping_matches_gather():
             )
 
 
+def test_per_layer_grouping_overrides():
+    """grouping_sa1/_sa2/_regressor override the global mode per layer; a
+    mixed config's eval forward is bitwise the gather forward for the
+    overridden layers (the override routes to the same branch)."""
+    import jax
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 192, 5))
+    cfg_g = ModelConfig(n_points=192, fps_deterministic=True, grouping="gather")
+    cfg_m = ModelConfig(
+        n_points=192, fps_deterministic=True, grouping="dense",
+        grouping_sa1="gather", grouping_sa2="gather",
+        grouping_regressor="gather",
+    )
+    net_g = TEHNet(cfg=cfg_g)
+    variables = net_g.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out_g = net_g.apply(variables, x, train=False)
+    out_m = TEHNet(cfg=cfg_m).apply(variables, x, train=False)
+    # every SA layer overridden to gather -> identical programs
+    np.testing.assert_array_equal(
+        np.asarray(out_g["class_logits"]), np.asarray(out_m["class_logits"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_g["left"]["transl"]), np.asarray(out_m["left"]["transl"])
+    )
+
+
 def test_dense_train_bn_stats_match_gather():
     """The dense TRAINING formulation (multiplicity-weighted BN stats,
     layers.SetAbstractionMsg._dense_train_scale) must reproduce the gather
