@@ -170,6 +170,56 @@ def test_query_ball_point_permuted_selection_parity(rng):
     )
 
 
+@pytest.mark.parametrize("bwd", ["xla", "pallas"])
+def test_sa_msg_pallas_gather_grad_parity(rng, monkeypatch, bwd):
+    """Parameter gradients through the pgather branch (custom_vjp inside
+    the flax module) match the index_points branch."""
+    from ev2hands_tpu.model import layers as L
+    from ev2hands_tpu.ops import pallas_gather as PG
+
+    B, N, S = 2, 128, 8
+    xyz = jnp.asarray(
+        np.clip(rng.randn(B, N, 3) * 0.4, -1, 1).astype(np.float32)
+    )
+    feats = jnp.asarray(rng.randn(B, N, 5).astype(np.float32))
+
+    mod = L.SetAbstractionMsg(
+        npoint=S,
+        radius_list=(0.3,),
+        nsample_list=(12,),
+        mlps=((8, 8, 16),),
+        grouping="gather",
+        pallas_gather_nb=32,
+        pallas_gather_bwd=(bwd == "pallas"),
+    )
+    variables = mod.init(jax.random.PRNGKey(0), xyz, feats, True)
+
+    def loss(params, f):
+        (nx, npts), _ = mod.apply(
+            {**variables, "params": params}, xyz, f, True,
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(npts**2) + jnp.sum(nx)
+
+    g0 = jax.grad(loss, argnums=(0, 1))(variables["params"], feats)
+
+    monkeypatch.setattr(
+        L.SetAbstractionMsg, "_use_pallas_gather", lambda self, n, d: True
+    )
+    orig = PG.grouped_gather
+    monkeypatch.setattr(
+        PG, "grouped_gather", functools.partial(orig, interpret=True)
+    )
+    g1 = jax.grad(loss, argnums=(0, 1))(variables["params"], feats)
+
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_sa_msg_pallas_gather_branch_bitwise(rng, monkeypatch):
     """SetAbstractionMsg's pgather branch (permuted ball query + one-hot
     kernel in interpret mode) is bitwise-identical to the index_points
