@@ -75,7 +75,9 @@ def _kernel(act_ref, idx_ref, src3_ref, out_ref, *, nb: int, C: int):
         def body(ti, _, j=j):
             @pl.when(act_ref[0, j, ti] > 0)
             def _():
-                local = idx_ref[0, j, :][:, None] - ti * nb       # [K, 1]
+                # idx rides as [K, 1] (K on sublanes) straight from the DMA —
+                # a [K]-lane load reshaped in-kernel would relayout per tile
+                local = idx_ref[0, j, :, :] - ti * nb              # [K, 1]
                 oh = (
                     local
                     == jax.lax.broadcasted_iota(jnp.int32, (K, nb), 1)
@@ -118,13 +120,13 @@ def _onehot_gather(
         in_specs=[
             pl.BlockSpec((1, sb, nt), lambda b, s: (b, s, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, sb, K), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((1, sb, K, 1), lambda b, s: (b, s, 0, 0)),
             pl.BlockSpec((1, N, 3 * C), lambda b, s: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, sb, K, C), lambda b, s: (b, s, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, S, K, C), jnp.float32),
         interpret=interpret,
-    )(act, idx, src3)
+    )(act, idx[..., None], src3)
 
 
 def _scatter_kernel(act_ref, idx_ref, g3_ref, out_ref, *, nb: int, C: int):
