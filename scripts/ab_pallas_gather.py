@@ -80,12 +80,17 @@ def step_level(batch=8, n=2048):
     import bench as B
 
     # interleaved A/B (two runs each) to factor out slow-tunnel drift
-    for flag in (False, True, False, True):
-        ws = B.measure_train_step(
-            batch_size=batch, n_points=n, pallas_gather=flag
-        )
-        print(json.dumps({"pallas_gather": flag,
-                          "train_windows_per_s": round(ws, 1)}), flush=True)
+    cfgs = [
+        {"pallas_gather": False},
+        {"pallas_gather": True},
+        {"pallas_gather": True, "pallas_gather_bwd": True},
+    ]
+    for rep in range(2):
+        for kw in cfgs:
+            ws = B.measure_train_step(batch_size=batch, n_points=n, **kw)
+            print(json.dumps({"rep": rep, **kw,
+                              "train_windows_per_s": round(ws, 1)}),
+                  flush=True)
 
 
 if __name__ == "__main__":
