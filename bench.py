@@ -337,7 +337,37 @@ def get_torch_baseline():
         return None
 
 
+def wait_for_tpu(max_wait_s=1800, probe_timeout_s=120):
+    """Block until the TPU backend answers a tiny jit (subprocess probes —
+    an in-process init failure is cached by jax.xla_bridge, so the probe
+    must run outside). The axon tunnel has transient outage phases where
+    backend init raises UNAVAILABLE or hangs (documented in CLAUDE.md);
+    without this, a driver-run bench landing in such a phase records
+    nothing for the round."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(jax.jit(lambda a: a + 1)(jnp.ones((8, 8))).sum())")
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe], check=True,
+                timeout=probe_timeout_s, capture_output=True,
+            )
+            return True
+        except Exception as e:
+            if time.time() > deadline:
+                print(f"# TPU backend still unavailable after "
+                      f"{max_wait_s}s: {e}", file=sys.stderr)
+                return False
+            print("# TPU backend unavailable; retrying in 60 s",
+                  file=sys.stderr)
+            time.sleep(60)
+
+
 def main():
+    wait_for_tpu()
     (ours, flops_per_window, mfu_pct, mfu_executed_pct,
      sa1_activity) = measure_ours()
     try:
