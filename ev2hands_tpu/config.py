@@ -133,12 +133,12 @@ class ModelConfig:
     # Morton-permuted column space via query_ball_point_permuted (selection
     # semantics bitwise-unchanged), and each centroid's K slots are gathered
     # with one bf16 MXU dot per ACTIVE point tile (f32-exact via the
-    # hi|mid|lo channel stack). Applies to narrow-channel scales (3*(D+3)
-    # <= 128 lanes: TEHNet sa1 + both regressor sa1s); sa2's 323-channel
-    # source stays on the XLA gather. TPU only; forward is bitwise-equal to
-    # index_points (tested in interpret mode AND on-chip), backward keeps
-    # XLA's scatter-add. Default pending the on-TPU step-level A/B
-    # (scripts/ab_pallas_gather.py).
+    # hi|mid|lo channel stack). Narrow-channel scales (3*(D+3) <= 128 lanes:
+    # TEHNet sa1 + both regressor sa1s) ride one contiguous stack; sa2's
+    # 323-channel source is covered too when pallas_gather_wide is set. TPU
+    # only; forward is bitwise-equal to index_points (tested in interpret
+    # mode AND on-chip), backward keeps XLA's scatter-add. Default pending
+    # the on-TPU step-level A/B (scripts/ab_pallas_gather.py).
     pallas_gather: bool = False
     # Point-tile size of the one-hot gather kernel (smaller tiles -> tighter
     # activity skip; each tile costs one [K, nb] @ [nb, 3C] MXU pass).
@@ -148,6 +148,13 @@ class ModelConfig:
     # step), True = the transposed one-hot kernel (oh^T @ g3 per active
     # tile, same float math up to summation order). Pending on-TPU A/B.
     pallas_gather_bwd: bool = False
+    # Extend the one-hot gather to wide-channel sources — sa2's [B, 512,
+    # 320(+3)] rows, where each hi|mid|lo term pads to a 128-lane segment
+    # (seg=384) so the in-kernel slices stay lane-aligned. sa2's XLA gather
+    # moves 192 rows x 323 ch per centroid; the kernel streams ~2 of 4 point
+    # tiles as one [192, 128] @ [128, 1152] bf16 dot each. Only consulted
+    # when pallas_gather is on. Pending on-TPU A/B.
+    pallas_gather_wide: bool = True
     # Run ALL of a layer's MSG scales in ONE block-sparse kernel pass
     # (block-diagonal stacked weights, union tile activity): the chain is
     # per-dot-issue-bound and per-scale passes pay dots ~ SUM of activity

@@ -147,6 +147,10 @@ class SetAbstractionMsg(nn.Module):
     # backward of the one-hot gather: XLA scatter-add (False) or the
     # transposed one-hot kernel (True) — see ModelConfig.pallas_gather_bwd
     pallas_gather_bwd: bool = False
+    # extend the one-hot gather to wide-channel sources (sa2's 323-feature
+    # rows, padded to 128-lane hi|mid|lo segments) — see
+    # ModelConfig.pallas_gather_wide
+    pallas_gather_wide: bool = True
 
     @nn.compact
     def __call__(
@@ -344,23 +348,34 @@ class SetAbstractionMsg(nn.Module):
 
     def _use_pallas_gather(self, n_points: int, d: int) -> bool:
         """Gate for the one-hot MXU gather (ops/pallas_gather.py) on the
-        gather-mode (train) path: TPU, narrow source channels (the f32
-        exactness stack 3*(D+3) must fit one 128-lane MXU pass — TEHNet sa1
-        and the regressor sa1s qualify, sa2's 320-feature source does not),
-        and tile-divisible N within the Morton key range."""
+        gather-mode (train) path: TPU, tile-divisible N within the Morton
+        key range, and VMEM-resident blocks. Narrow sources (3*(D+3) <= 128:
+        TEHNet sa1 and the regressor sa1s) ride one contiguous hi|mid|lo
+        stack; wide sources (sa2's 320-feature rows) pad each term to a
+        128-lane segment and are additionally gated by
+        ``pallas_gather_wide``."""
         if not self.pallas_gather or self.is_initializing():
             return False
         import jax as _jax
 
         if _jax.default_backend() != "tpu":
             return False
+        from ev2hands_tpu.ops.pallas_gather import _seg_width
+
+        C = d + 3
+        if 3 * C > 128 and not self.pallas_gather_wide:
+            return False
+        seg = _seg_width(C)
         nb = self.pallas_gather_nb
         return (
-            3 * (d + 3) <= 128
-            and n_points % nb == 0
+            n_points % nb == 0
             and n_points >= 2 * nb    # no skip to exploit below two tiles
             and n_points <= 8192      # full-resolution morton keys
             and self.npoint % 8 == 0  # sb divisibility
+            # both pallas_call blocks must sit in VMEM: the full-N source
+            # stack and the per-chunk [sb, sum(K), seg] f32 output
+            and n_points * 3 * seg * 2 <= 8 * 2**20
+            and 8 * sum(self.nsample_list) * seg * 4 <= 4 * 2**20
         )
 
     def _use_pallas_scale(self, i: int, n_points: int) -> bool:

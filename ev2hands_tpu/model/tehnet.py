@@ -74,6 +74,7 @@ class ManoRegressor(nn.Module):
     pallas_gather: bool = True
     pallas_gather_nb: int = 128
     pallas_gather_bwd: bool = False
+    pallas_gather_wide: bool = True
 
     @nn.compact
     def __call__(
@@ -99,6 +100,7 @@ class ManoRegressor(nn.Module):
             pallas_gather=self.pallas_gather,
             pallas_gather_nb=self.pallas_gather_nb,
             pallas_gather_bwd=self.pallas_gather_bwd,
+            pallas_gather_wide=self.pallas_gather_wide,
             name="sa1",
         )(xyz, features, train, fps_key, fps_idx)
         _, l2_points = SetAbstractionAll(mlp=(256, 512), name="sa2")(
@@ -169,6 +171,7 @@ class TEHNet(nn.Module):
             pallas_gather=cfg.pallas_gather,
             pallas_gather_nb=cfg.pallas_gather_nb,
             pallas_gather_bwd=cfg.pallas_gather_bwd,
+            pallas_gather_wide=cfg.pallas_gather_wide,
             name="sa1",
         )(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = SetAbstractionMsg(
@@ -186,6 +189,7 @@ class TEHNet(nn.Module):
             pallas_gather=cfg.pallas_gather,
             pallas_gather_nb=cfg.pallas_gather_nb,
             pallas_gather_bwd=cfg.pallas_gather_bwd,
+            pallas_gather_wide=cfg.pallas_gather_wide,
             name="sa2",
         )(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = SetAbstractionAll(mlp=(256, 512, 1024), name="sa3")(
@@ -264,6 +268,7 @@ class TEHNet(nn.Module):
                 pallas_gather=cfg.pallas_gather,
                 pallas_gather_nb=cfg.pallas_gather_nb,
                 pallas_gather_bwd=cfg.pallas_gather_bwd,
+                pallas_gather_wide=cfg.pallas_gather_wide,
                 name="left_mano_regressor",
             )(l0_xyz, left_features, train, keys[2], reg_fps_idx)
             right = ManoRegressor(
@@ -276,6 +281,7 @@ class TEHNet(nn.Module):
                 pallas_gather=cfg.pallas_gather,
                 pallas_gather_nb=cfg.pallas_gather_nb,
                 pallas_gather_bwd=cfg.pallas_gather_bwd,
+                pallas_gather_wide=cfg.pallas_gather_wide,
                 name="right_mano_regressor",
             )(l0_xyz, right_features, train, keys[3], reg_fps_idx)
 

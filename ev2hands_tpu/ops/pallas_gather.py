@@ -39,16 +39,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def split3_bf16(src: jax.Array) -> jax.Array:
-    """f32 [..., C] -> bf16 [..., 3C] with ``hi|mid|lo`` stacked on the
+def split3_bf16(src: jax.Array, seg: int | None = None) -> jax.Array:
+    """f32 [..., C] -> bf16 [..., 3*seg] with ``hi|mid|lo`` stacked on the
     channel axis and ``hi + mid + lo == src`` exactly (for normal floats;
     f32 subnormals below the bf16 subnormal range would lose bits — point
-    coordinates and event features are O(1))."""
+    coordinates and event features are O(1)).
+
+    ``seg`` (default C) zero-pads each of the three terms to ``seg``
+    channels so wide sources can align every segment to a 128-lane
+    boundary — in-kernel lane slices at multiples of 128 avoid the
+    cross-lane relayout a slice at ``C=323`` would cost."""
     hi = src.astype(jnp.bfloat16)
     r1 = src - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    if seg is not None and seg != src.shape[-1]:
+        pad = [(0, 0)] * (src.ndim - 1) + [(0, seg - src.shape[-1])]
+        hi, mid, lo = (jnp.pad(t, pad) for t in (hi, mid, lo))
     return jnp.concatenate([hi, mid, lo], axis=-1)
+
+
+def _seg_width(C: int) -> int:
+    """Segment width of the hi|mid|lo stack: contiguous when the whole
+    stack fits one 128-lane pass (sa1's C=8 -> 24 lanes), else each term
+    padded to a 128-lane boundary (sa2's C=323 -> seg=384) so the kernel's
+    per-segment slices stay lane-aligned."""
+    return C if 3 * C <= 128 else -(-C // 128) * 128
 
 
 def pos_tile_activity(pos: jax.Array, nb: int, n: int) -> jax.Array:
@@ -104,29 +120,34 @@ def _onehot_gather(
     sb: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
-    """-> [B, S, K, C] f32, bitwise-equal to ``index_points(src, idx)``."""
+    """-> [B, S, K, C] f32, bitwise-equal to ``index_points(src, idx)``.
+
+    Wide sources (3*C > 128, e.g. sa2's C=323) pad each hi|mid|lo term to a
+    128-lane boundary (``_seg_width``) — the dot is one [K, nb] @ [nb, 3*seg]
+    MXU pass per active tile either way, just wider."""
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, C = src.shape
     S, K = idx.shape[1], idx.shape[2]
     assert N % nb == 0 and S % sb == 0, (N, nb, S, sb)
-    assert 3 * C <= 128, f"C={C}: the 3C exactness stack must fit one N-pass"
+    seg = _seg_width(C)
     nt = N // nb
 
-    src3 = split3_bf16(src)
-    return pl.pallas_call(
-        functools.partial(_kernel, nb=nb, C=C),
+    src3 = split3_bf16(src, seg=seg)
+    out = pl.pallas_call(
+        functools.partial(_kernel, nb=nb, C=seg),
         grid=(B, S // sb),
         in_specs=[
             pl.BlockSpec((1, sb, nt), lambda b, s: (b, s, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, sb, K, 1), lambda b, s: (b, s, 0, 0)),
-            pl.BlockSpec((1, N, 3 * C), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, N, 3 * seg), lambda b, s: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, sb, K, C), lambda b, s: (b, s, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, S, K, C), jnp.float32),
+        out_specs=pl.BlockSpec((1, sb, K, seg), lambda b, s: (b, s, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, K, seg), jnp.float32),
         interpret=interpret,
     )(act, idx[..., None], src3)
+    return out if seg == C else out[..., :C]
 
 
 def _scatter_kernel(act_ref, idx_ref, g3_ref, out_ref, *, nb: int, C: int):
@@ -178,26 +199,29 @@ def _onehot_scatter_add(
     interpret: bool = False,
 ) -> jax.Array:
     """-> [B, N, C] f32: sum of slot cotangents per source row (the gather
-    VJP), on the MXU instead of XLA's sequential scatter-add."""
+    VJP), on the MXU instead of XLA's sequential scatter-add. Wide C pads
+    the hi|mid|lo terms to 128-lane segments like the forward."""
     from jax.experimental.pallas import tpu as pltpu
 
     B, S, K, C = g.shape
-    assert n % nb == 0 and S % sb == 0 and 3 * C <= 128, (n, nb, S, sb, C)
+    assert n % nb == 0 and S % sb == 0, (n, nb, S, sb, C)
+    seg = _seg_width(C)
 
-    g3 = split3_bf16(g)
-    return pl.pallas_call(
-        functools.partial(_scatter_kernel, nb=nb, C=C),
+    g3 = split3_bf16(g, seg=seg)
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel, nb=nb, C=seg),
         grid=(B, S // sb),
         in_specs=[
             pl.BlockSpec((1, sb, n // nb), lambda b, s: (b, s, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, sb, K), lambda b, s: (b, s, 0)),
-            pl.BlockSpec((1, sb, K, 3 * C), lambda b, s: (b, s, 0, 0)),
+            pl.BlockSpec((1, sb, K, 3 * seg), lambda b, s: (b, s, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, n, C), lambda b, s: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, n, C), jnp.float32),
+        out_specs=pl.BlockSpec((1, n, seg), lambda b, s: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n, seg), jnp.float32),
         interpret=interpret,
     )(act, idx, g3)
+    return out if seg == C else out[..., :C]
 
 
 def _gather_transpose(g: jax.Array, idx: jax.Array, n: int) -> jax.Array:

@@ -41,6 +41,26 @@ def test_split3_exact(rng):
     assert np.array_equal(np.asarray(back), np.asarray(x))
 
 
+def test_split3_segmented(rng):
+    """Wide-C layout: each hi|mid|lo term padded to ``seg`` lanes, re-sum of
+    the first C lanes of each segment still exact, padding exactly zero."""
+    from ev2hands_tpu.ops.pallas_gather import _seg_width
+
+    C = 150
+    seg = _seg_width(C)
+    assert seg == 256 and _seg_width(8) == 8 and _seg_width(43) == 128
+    x = jnp.asarray(
+        (rng.randn(2, 32, C) * np.exp(rng.randn(2, 32, C))).astype(np.float32)
+    )
+    s3 = split3_bf16(x, seg=seg)
+    assert s3.shape[-1] == 3 * seg
+    terms = [s3[..., i * seg : i * seg + C].astype(jnp.float32)
+             for i in range(3)]
+    assert np.array_equal(np.asarray(sum(terms)), np.asarray(x))
+    pads = [s3[..., i * seg + C : (i + 1) * seg] for i in range(3)]
+    assert all(not np.any(np.asarray(p)) for p in pads)
+
+
 def test_pos_tile_activity(rng):
     pos = jnp.asarray(rng.randint(0, 256, size=(2, 8, 24)).astype(np.int32))
     act = pos_tile_activity(pos, 64, 256)
@@ -53,7 +73,7 @@ def test_pos_tile_activity(rng):
     assert np.array_equal(np.asarray(act), want)
 
 
-@pytest.mark.parametrize("C", [8, 7, 3])
+@pytest.mark.parametrize("C", [8, 7, 3, 45, 150])
 def test_onehot_gather_matches_index_points_interpret(rng, C):
     B, N, S, K, nb = 2, 256, 16, 24, 64
     src = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
@@ -90,13 +110,14 @@ def test_onehot_gather_vjp_matches(rng):
     )
 
 
-def test_onehot_scatter_add_matches_xla_interpret(rng):
+@pytest.mark.parametrize("C", [8, 45])
+def test_onehot_scatter_add_matches_xla_interpret(rng, C):
     from ev2hands_tpu.ops.pallas_gather import (
         _gather_transpose,
         _onehot_scatter_add,
     )
 
-    B, N, S, K, nb, C = 2, 256, 16, 24, 64, 8
+    B, N, S, K, nb = 2, 256, 16, 24, 64
     g = jnp.asarray(rng.randn(B, S, K, C).astype(np.float32))
     # clustered + heavily duplicated indices (the backfill pattern): the
     # kernel must accumulate same-row slot cotangents correctly
