@@ -241,10 +241,13 @@ def test_sa_msg_pallas_gather_grad_parity(rng, monkeypatch, bwd):
         )
 
 
-def test_sa_msg_pallas_gather_branch_bitwise(rng, monkeypatch):
+@pytest.mark.parametrize("D", [5, 45])
+def test_sa_msg_pallas_gather_branch_bitwise(rng, monkeypatch, D):
     """SetAbstractionMsg's pgather branch (permuted ball query + one-hot
     kernel in interpret mode) is bitwise-identical to the index_points
-    gather branch — outputs AND BatchNorm batch-stat updates."""
+    gather branch — outputs AND BatchNorm batch-stat updates. D=45 drives
+    the wide-channel path (3*(45+3) > 128 -> 128-lane segment padding),
+    the layer-level analogue of sa2's 320-feature source."""
     from ev2hands_tpu.model import layers as L
     from ev2hands_tpu.ops import pallas_gather as PG
 
@@ -252,7 +255,7 @@ def test_sa_msg_pallas_gather_branch_bitwise(rng, monkeypatch):
     xyz = jnp.asarray(
         np.clip(rng.randn(B, N, 3) * 0.4, -1, 1).astype(np.float32)
     )
-    feats = jnp.asarray(rng.randn(B, N, 5).astype(np.float32))
+    feats = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
 
     mod = L.SetAbstractionMsg(
         npoint=S,
