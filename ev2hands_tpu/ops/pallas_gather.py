@@ -78,15 +78,24 @@ def pos_tile_activity(pos: jax.Array, nb: int, n: int) -> jax.Array:
     )
 
 
-def _kernel(act_ref, idx_ref, src3_ref, out_ref, *, nb: int, C: int):
+def _kernel(act_ref, idx_ref, src3_ref, out_ref, *, nb: int, C: int,
+            resum: bool):
     """Per centroid: visit only active point tiles; one bf16 MXU dot per
-    tile gathers all K slots at once (hi|mid|lo stacked as 3C lanes)."""
+    tile gathers all K slots at once (hi|mid|lo stacked as 3C lanes).
+
+    ``resum`` (wide path, 3C > 128, C a 128-multiple) folds hi+mid+lo
+    inside the kernel with lane-aligned slices. The narrow path emits the
+    full [K, 3C] stack instead — with 3C <= 128 it occupies the same padded
+    128-lane vregs/output tiles as [K, C], and slicing at lane offsets C,
+    2C (not 128-aligned) would cost Mosaic a cross-lane relayout per tile
+    (or fail to lower); the exact re-sum happens in XLA outside."""
     sb = idx_ref.shape[1]
     K = idx_ref.shape[2]
     nt = src3_ref.shape[1] // nb
+    oc = out_ref.shape[3]                  # C when resum, else 3C
 
     for j in range(sb):                    # static unroll over centroids
-        out_ref[0, j, :, :] = jnp.zeros((K, C), jnp.float32)
+        out_ref[0, j, :, :] = jnp.zeros((K, oc), jnp.float32)
 
         def body(ti, _, j=j):
             @pl.when(act_ref[0, j, ti] > 0)
@@ -100,11 +109,11 @@ def _kernel(act_ref, idx_ref, src3_ref, out_ref, *, nb: int, C: int):
                 ).astype(jnp.bfloat16)                             # [K, nb]
                 t = src3_ref[0, pl.ds(ti * nb, nb), :]             # [nb, 3C]
                 g3 = jnp.dot(oh, t, preferred_element_type=jnp.float32)
+                if resum:
+                    g3 = g3[:, :C] + g3[:, C : 2 * C] + g3[:, 2 * C :]
                 # slots outside this tile contribute exact zeros — the
                 # accumulation across tiles is disjoint
-                out_ref[0, j, :, :] = out_ref[0, j, :, :] + (
-                    g3[:, :C] + g3[:, C : 2 * C] + g3[:, 2 * C :]
-                )
+                out_ref[0, j, :, :] = out_ref[0, j, :, :] + g3
 
             return 0
 
@@ -132,10 +141,12 @@ def _onehot_gather(
     assert N % nb == 0 and S % sb == 0, (N, nb, S, sb)
     seg = _seg_width(C)
     nt = N // nb
+    resum = 3 * seg > 128        # wide: lane-aligned in-kernel hi+mid+lo
+    oc = seg if resum else 3 * seg
 
     src3 = split3_bf16(src, seg=seg)
     out = pl.pallas_call(
-        functools.partial(_kernel, nb=nb, C=seg),
+        functools.partial(_kernel, nb=nb, C=seg, resum=resum),
         grid=(B, S // sb),
         in_specs=[
             pl.BlockSpec((1, sb, nt), lambda b, s: (b, s, 0),
@@ -143,29 +154,38 @@ def _onehot_gather(
             pl.BlockSpec((1, sb, K, 1), lambda b, s: (b, s, 0, 0)),
             pl.BlockSpec((1, N, 3 * seg), lambda b, s: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, sb, K, seg), lambda b, s: (b, s, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, S, K, seg), jnp.float32),
+        out_specs=pl.BlockSpec((1, sb, K, oc), lambda b, s: (b, s, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, K, oc), jnp.float32),
         interpret=interpret,
     )(act, idx[..., None], src3)
-    return out if seg == C else out[..., :C]
+    if resum:
+        return out if seg == C else out[..., :C]
+    # narrow (seg == C): exact re-sum outside the kernel — each slot's value
+    # lives in exactly one tile, so the per-segment accumulators hold one
+    # nonzero term each and hi + mid + lo here is bitwise the source value
+    return out[..., :C] + out[..., C : 2 * C] + out[..., 2 * C :]
 
 
-def _scatter_kernel(act_ref, idx_ref, g3_ref, out_ref, *, nb: int, C: int):
+def _scatter_kernel(act_ref, idx_ref, g3_ref, out_ref, *, nb: int, C: int,
+                    resum: bool):
     """Transpose of ``_kernel``: the full [N, C] cotangent block stays
     resident across the centroid-chunk grid (consecutive revisits, init at
     chunk 0); for each centroid x active tile, one bf16 MXU dot
     (``oh^T [nb, K] @ g3 [K, 3C]``) scatter-adds all K slot cotangents into
     the tile's rows. Slots hitting the same point row accumulate in the
     MXU's f32 accumulator — same math as XLA's scatter-add up to float
-    summation order."""
+    summation order. Narrow C (``resum=False``) keeps the [N, 3C]
+    per-segment accumulators and re-sums outside, like ``_kernel`` — the
+    slices at lane offsets C, 2C are not 128-aligned."""
     sb = idx_ref.shape[1]
     K = idx_ref.shape[2]
     N = out_ref.shape[1]
     nt = N // nb
+    oc = out_ref.shape[2]                  # C when resum, else 3C
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        out_ref[0, :, :] = jnp.zeros((N, C), jnp.float32)
+        out_ref[0, :, :] = jnp.zeros((N, oc), jnp.float32)
 
     for j in range(sb):                    # static unroll over centroids
 
@@ -178,10 +198,10 @@ def _scatter_kernel(act_ref, idx_ref, g3_ref, out_ref, *, nb: int, C: int):
                 ).astype(jnp.bfloat16)                              # [nb, K]
                 g3 = g3_ref[0, j, :, :]                             # [K, 3C]
                 d3 = jnp.dot(oh_t, g3, preferred_element_type=jnp.float32)
+                if resum:
+                    d3 = d3[:, :C] + d3[:, C : 2 * C] + d3[:, 2 * C :]
                 rows = pl.ds(ti * nb, nb)
-                out_ref[0, rows, :] = out_ref[0, rows, :] + (
-                    d3[:, :C] + d3[:, C : 2 * C] + d3[:, 2 * C :]
-                )
+                out_ref[0, rows, :] = out_ref[0, rows, :] + d3
 
             return 0
 
@@ -206,10 +226,12 @@ def _onehot_scatter_add(
     B, S, K, C = g.shape
     assert n % nb == 0 and S % sb == 0, (n, nb, S, sb, C)
     seg = _seg_width(C)
+    resum = 3 * seg > 128
+    oc = seg if resum else 3 * seg
 
     g3 = split3_bf16(g, seg=seg)
     out = pl.pallas_call(
-        functools.partial(_scatter_kernel, nb=nb, C=seg),
+        functools.partial(_scatter_kernel, nb=nb, C=seg, resum=resum),
         grid=(B, S // sb),
         in_specs=[
             pl.BlockSpec((1, sb, n // nb), lambda b, s: (b, s, 0),
@@ -217,11 +239,13 @@ def _onehot_scatter_add(
             pl.BlockSpec((1, sb, K), lambda b, s: (b, s, 0)),
             pl.BlockSpec((1, sb, K, 3 * seg), lambda b, s: (b, s, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, n, seg), lambda b, s: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, n, seg), jnp.float32),
+        out_specs=pl.BlockSpec((1, n, oc), lambda b, s: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n, oc), jnp.float32),
         interpret=interpret,
     )(act, idx, g3)
-    return out if seg == C else out[..., :C]
+    if resum:
+        return out if seg == C else out[..., :C]
+    return out[..., :C] + out[..., C : 2 * C] + out[..., 2 * C :]
 
 
 def _gather_transpose(g: jax.Array, idx: jax.Array, n: int) -> jax.Array:
