@@ -18,7 +18,13 @@ print('HEALTH_OK')
 }
 
 wait_tpu() {
-  for i in $(seq 1 300); do
+  for i in $(seq 1 600); do
+    # Never measure while another heavy job holds the 1-core host
+    # (the full pytest suite touches /tmp/cpu_busy while it runs).
+    while [[ -e /tmp/cpu_busy ]]; do
+      echo "[$(date +%H:%M:%S)] waiting: /tmp/cpu_busy held by $(cat /tmp/cpu_busy 2>/dev/null)"
+      sleep 120
+    done
     out=$(health)
     echo "[$(date +%H:%M:%S)] health attempt $i: $out"
     [[ "$out" == HEALTH_OK ]] && return 0
