@@ -169,6 +169,20 @@ class ModelConfig:
     # OFF; kept as a tested exploration (exactness vs the per-scale
     # kernel pinned by test_fused_scales_kernel_matches_per_scale_interpret).
     pallas_fused_msg: bool = False
+    # Mixed-precision TRAINING (TPU-idiomatic, default off = reference-f32
+    # parity). The fat Dense/Conv chains — set-abstraction grouped convs,
+    # feature propagation, query convs, classifier trunk — compute in
+    # bfloat16 (flax ``dtype=bfloat16``: inputs+params cast at the matmul,
+    # one MXU pass instead of f32's three, half the HBM bytes on the
+    # [B, S, K, C] grouped tensors). Parameters, optimizer state, BatchNorm
+    # statistics (flax's dtype promotion keeps the normalization/stat math
+    # in f32 because params are f32), the output heads (classifier logits,
+    # regressor fc), MANO, and losses all stay float32. Eval traces are
+    # bitwise-unchanged (the cast only applies when train=True). This is a
+    # deliberate deviation from the reference's f32-only training
+    # (``train.py:22-151`` has no AMP); opt-in. Pending on-TPU A/B
+    # (scripts/ab_bf16.py).
+    bf16_train: bool = False
     # Run the two MANO regressor heads as one h-stacked pass in the dense
     # eval path (shared FPS/selection, folded BN, batched matmuls) — exact
     # eval numerics (tested). MEASURED SLOWER on TPU v5e than the two plain

@@ -268,12 +268,19 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--data_parallel", type=int, default=1)
     ap.add_argument("--synthetic_mano", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: conv chains in bfloat16,"
+                         " params/BN stats/losses stay f32"
+                         " (ModelConfig.bf16_train)")
     args = ap.parse_args()
 
     cfg = DEFAULT_CONFIG
     cfg = cfg.replace(train=cfg.train.__class__(
         **{**cfg.train.__dict__, "batch_size": args.batch_size,
            "data_parallel": args.data_parallel}))
+    if args.bf16:
+        cfg = cfg.replace(model=cfg.model.__class__(
+            **{**cfg.model.__dict__, "bf16_train": True}))
     finetune(cfg, args.data_root, args.checkpoint_path,
              args.max_iter, args.save_iter, args.synthetic_mano,
              val_data_root=args.val_data_root, resume_dir=args.resume_dir)

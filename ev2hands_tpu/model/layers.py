@@ -151,6 +151,9 @@ class SetAbstractionMsg(nn.Module):
     # rows, padded to 128-lane hi|mid|lo segments) — see
     # ModelConfig.pallas_gather_wide
     pallas_gather_wide: bool = True
+    # bfloat16 compute for the training-path conv chain (params/BN stats
+    # stay f32; eval traces untouched) — see ModelConfig.bf16_train
+    bf16: bool = False
 
     @nn.compact
     def __call__(
@@ -287,11 +290,19 @@ class SetAbstractionMsg(nn.Module):
                 xyz, new_xyz, sqrdists, perm, xyz_p, points_p
             )
 
+        # bf16 compute only on the training gather branch: the dense/pallas
+        # eval paths fold BN into f32 weights, and _dense_train_scale's
+        # manual weighted-stat sweeps stay f32 (dtype applies per-trace;
+        # train is a static bool, so eval traces never see the cast)
+        dt = (
+            jnp.bfloat16 if (self.bf16 and train and gather_mode) else None
+        )
         outs = []
         k_off = 0
         for i, radius in enumerate(self.radius_list):
             k = self.nsample_list[i]
-            convs = [nn.Dense(w, name=f"conv_{i}_{j}") for j, w in enumerate(self.mlps[i])]
+            convs = [nn.Dense(w, dtype=dt, name=f"conv_{i}_{j}")
+                     for j, w in enumerate(self.mlps[i])]
             if use_dense_train:
                 # PairBatchNorm owns the same bn_{i}_{j} param/stat tree as
                 # nn.BatchNorm; only one of the two binds a given name per
@@ -691,24 +702,30 @@ class SetAbstractionAll(nn.Module):
     Dense/BN/ReLU stack, max-pool -> [B, 1, mlp[-1]]."""
 
     mlp: Sequence[int]
+    bf16: bool = False  # see ModelConfig.bf16_train
 
     @nn.compact
     def __call__(
         self, xyz: jax.Array, points: Optional[jax.Array], train: bool = False
     ) -> Tuple[jax.Array, jax.Array]:
+        dt = jnp.bfloat16 if (self.bf16 and train) else None
         new_xyz, grouped = group_all(xyz, points)  # [B, 1, N, 3+D]
         x = grouped
         for j, width in enumerate(self.mlp):
-            x = nn.Dense(width, name=f"conv_{j}")(x)
+            x = nn.Dense(width, dtype=dt, name=f"conv_{j}")(x)
             x = _bn(train, f"bn_{j}")(x)
             x = nn.relu(x)
         return new_xyz, jnp.max(x, axis=2)  # [B, 1, width]
 
 
 class FeaturePropagation(nn.Module):
-    """3-NN inverse-distance feature propagation + pointwise Dense/BN/ReLU."""
+    """3-NN inverse-distance feature propagation + pointwise Dense/BN/ReLU.
+
+    The 3-NN interpolation itself always stays f32 (distance math); under
+    ``bf16`` only the Dense stack computes in bfloat16 during training."""
 
     mlp: Sequence[int]
+    bf16: bool = False  # see ModelConfig.bf16_train
 
     @nn.compact
     def __call__(
@@ -719,6 +736,7 @@ class FeaturePropagation(nn.Module):
         points2: jax.Array,         # [B, S, D2] coarse features
         train: bool = False,
     ) -> jax.Array:
+        dt = jnp.bfloat16 if (self.bf16 and train) else None
         S = xyz2.shape[1]
         if S == 1:
             interpolated = jnp.broadcast_to(
@@ -733,7 +751,7 @@ class FeaturePropagation(nn.Module):
             else interpolated
         )
         for j, width in enumerate(self.mlp):
-            x = nn.Dense(width, name=f"conv_{j}")(x)
+            x = nn.Dense(width, dtype=dt, name=f"conv_{j}")(x)
             x = _bn(train, f"bn_{j}")(x)
             x = nn.relu(x)
         return x
@@ -770,13 +788,17 @@ class QueryConv(nn.Module):
 
     features: int = 256
     dropout: float = 0.1
+    bf16: bool = False  # see ModelConfig.bf16_train
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.Conv(self.features, kernel_size=(3,), padding="SAME", name="conv_0")(x)
+        dt = jnp.bfloat16 if (self.bf16 and train) else None
+        x = nn.Conv(self.features, kernel_size=(3,), padding="SAME",
+                    dtype=dt, name="conv_0")(x)
         x = nn.relu(x)
         x = _bn(train, "bn_0")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Conv(self.features, kernel_size=(3,), padding="SAME", name="conv_1")(x)
+        x = nn.Conv(self.features, kernel_size=(3,), padding="SAME",
+                    dtype=dt, name="conv_1")(x)
         x = _bn(train, "bn_1")(x)
         return x

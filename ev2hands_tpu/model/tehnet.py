@@ -75,6 +75,7 @@ class ManoRegressor(nn.Module):
     pallas_gather_nb: int = 128
     pallas_gather_bwd: bool = False
     pallas_gather_wide: bool = True
+    bf16: bool = False  # see ModelConfig.bf16_train
 
     @nn.compact
     def __call__(
@@ -101,11 +102,12 @@ class ManoRegressor(nn.Module):
             pallas_gather_nb=self.pallas_gather_nb,
             pallas_gather_bwd=self.pallas_gather_bwd,
             pallas_gather_wide=self.pallas_gather_wide,
+            bf16=self.bf16,
             name="sa1",
         )(xyz, features, train, fps_key, fps_idx)
-        _, l2_points = SetAbstractionAll(mlp=(256, 512), name="sa2")(
-            l1_xyz, l1_points, train
-        )
+        _, l2_points = SetAbstractionAll(
+            mlp=(256, 512), bf16=self.bf16, name="sa2"
+        )(l1_xyz, l1_points, train)
         x = l2_points[:, 0, :]  # [B, 512]
 
         # torch Sequential slots: fc0, ReLU, BN, Dropout(0.3), fc1
@@ -172,6 +174,7 @@ class TEHNet(nn.Module):
             pallas_gather_nb=cfg.pallas_gather_nb,
             pallas_gather_bwd=cfg.pallas_gather_bwd,
             pallas_gather_wide=cfg.pallas_gather_wide,
+            bf16=cfg.bf16_train,
             name="sa1",
         )(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = SetAbstractionMsg(
@@ -190,34 +193,38 @@ class TEHNet(nn.Module):
             pallas_gather_nb=cfg.pallas_gather_nb,
             pallas_gather_bwd=cfg.pallas_gather_bwd,
             pallas_gather_wide=cfg.pallas_gather_wide,
+            bf16=cfg.bf16_train,
             name="sa2",
         )(l1_xyz, l1_points, train, keys[1])
-        l3_xyz, l3_points = SetAbstractionAll(mlp=(256, 512, 1024), name="sa3")(
-            l2_xyz, l2_points, train
-        )
+        l3_xyz, l3_points = SetAbstractionAll(
+            mlp=(256, 512, 1024), bf16=cfg.bf16_train, name="sa3"
+        )(l2_xyz, l2_points, train)
 
-        l2_points = FeaturePropagation(mlp=(256, 256), name="fp3")(
+        l2_points = FeaturePropagation(mlp=(256, 256), bf16=cfg.bf16_train, name="fp3")(
             l2_xyz, l3_xyz, l2_points, l3_points, train
         )
-        l1_points = FeaturePropagation(mlp=(256, 128), name="fp2")(
+        l1_points = FeaturePropagation(mlp=(256, 128), bf16=cfg.bf16_train, name="fp2")(
             l1_xyz, l2_xyz, l1_points, l2_points, train
         )
-        l0_feats = FeaturePropagation(mlp=(128, 128, 256), name="fp1")(
+        l0_feats = FeaturePropagation(mlp=(128, 128, 256), bf16=cfg.bf16_train, name="fp1")(
             l0_xyz, l1_xyz, None, l1_points, train
         )
 
         # classifier: conv0, ReLU, BN, Dropout(0.3), conv1 (k=1 convs = Dense)
-        x = nn.Dense(256, name="classifier_conv_0")(l0_feats)
+        cdt = jnp.bfloat16 if (cfg.bf16_train and train) else None
+        x = nn.Dense(256, dtype=cdt, name="classifier_conv_0")(l0_feats)
         x = nn.relu(x)
         x = _bn(train, "classifier_bn")(x)
         x = nn.Dropout(cfg.dropout_classifier, deterministic=not train)(x)
         seg_logits = nn.Dense(cfg.num_classes, name="classifier_conv_1")(x)
 
         feat_fuse = l0_feats
-        left_query = QueryConv(dropout=cfg.dropout_query, name="left_query_conv")(
+        left_query = QueryConv(dropout=cfg.dropout_query, bf16=cfg.bf16_train,
+                               name="left_query_conv")(
             feat_fuse, train
         )
-        right_query = QueryConv(dropout=cfg.dropout_query, name="right_query_conv")(
+        right_query = QueryConv(dropout=cfg.dropout_query, bf16=cfg.bf16_train,
+                                name="right_query_conv")(
             feat_fuse, train
         )
         left_features = attention_block(seg_logits, feat_fuse, left_query)
@@ -269,6 +276,7 @@ class TEHNet(nn.Module):
                 pallas_gather_nb=cfg.pallas_gather_nb,
                 pallas_gather_bwd=cfg.pallas_gather_bwd,
                 pallas_gather_wide=cfg.pallas_gather_wide,
+                bf16=cfg.bf16_train,
                 name="left_mano_regressor",
             )(l0_xyz, left_features, train, keys[2], reg_fps_idx)
             right = ManoRegressor(
@@ -282,6 +290,7 @@ class TEHNet(nn.Module):
                 pallas_gather_nb=cfg.pallas_gather_nb,
                 pallas_gather_bwd=cfg.pallas_gather_bwd,
                 pallas_gather_wide=cfg.pallas_gather_wide,
+                bf16=cfg.bf16_train,
                 name="right_mano_regressor",
             )(l0_xyz, right_features, train, keys[3], reg_fps_idx)
 

@@ -339,6 +339,10 @@ def main():
     ap.add_argument("--resume_dir", default=None,
                     help="previous run's ckpt dir to resume from")
     ap.add_argument("--synthetic_mano", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: conv chains in bfloat16,"
+                         " params/BN stats/losses stay f32"
+                         " (ModelConfig.bf16_train)")
     # multi-host bring-up (DCN): pass all three to join a jax.distributed
     # cluster (e.g. from scripts/slurm_train.sh); single-process otherwise
     ap.add_argument("--coordinator", default=None,
@@ -360,6 +364,9 @@ def main():
            "batch_size": args.batch_size,
            "checkpoint_path": args.checkpoint_path,
            "data_parallel": args.data_parallel}))
+    if args.bf16:
+        cfg = cfg.replace(model=cfg.model.__class__(
+            **{**cfg.model.__dict__, "bf16_train": True}))
     train(cfg, synthetic_mano=args.synthetic_mano, max_iter=args.max_iter,
           resume_dir=args.resume_dir)
 
