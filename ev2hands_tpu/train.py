@@ -206,8 +206,13 @@ def train(cfg: Config = DEFAULT_CONFIG, synthetic_mano: bool = False,
     ctx = build_collision_context(hands)
 
     net = TEHNet(cfg=cfg.model)
-    optimizer = optax.adamw(
-        cfg.train.learning_rate, weight_decay=cfg.train.weight_decay
+    # torch ``optim.Adam(weight_decay=wd)`` (reference ``train.py:56``, wd=0
+    # by default) couples the L2 term INTO the gradients before the moment
+    # updates — that is add_decayed_weights + adam, NOT AdamW's decoupled
+    # decay, which scales the penalty by 1/(sqrt(v)+eps) differently.
+    optimizer = optax.chain(
+        optax.add_decayed_weights(cfg.train.weight_decay),
+        optax.adam(cfg.train.learning_rate),
     ) if cfg.train.weight_decay else optax.adam(cfg.train.learning_rate)
 
     state = create_train_state(net, cfg, jax.random.PRNGKey(cfg.train.seed), optimizer)

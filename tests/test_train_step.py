@@ -283,3 +283,37 @@ def test_train_loop_with_native_loader(pipeline, tmp_path, monkeypatch):
     state = train_mod.train(cfg2, synthetic_mano=True, max_iter=5)
     assert int(state.step) == 5
     assert native_available() or True  # loop works with either backend
+
+
+def test_weight_decay_matches_torch_adam_semantics():
+    """Nonzero weight_decay must reproduce torch ``optim.Adam(weight_decay=
+    wd)`` (reference ``train.py:56``): the L2 term is COUPLED into the
+    gradient before the moment updates — not AdamW's decoupled decay.
+    Oracle: the torch update rule computed by hand in numpy."""
+    lr, wd, b1, b2, eps = 1e-2, 0.1, 0.9, 0.999, 1e-8
+    opt = optax.chain(optax.add_decayed_weights(wd), optax.adam(lr))
+
+    rng = np.random.RandomState(0)
+    p = rng.randn(5).astype(np.float32)
+    params = {"w": jnp.asarray(p)}
+    opt_state = opt.init(params)
+
+    m = np.zeros(5, np.float64)
+    v = np.zeros(5, np.float64)
+    want = p.astype(np.float64)
+    for t in range(1, 4):
+        g = rng.randn(5).astype(np.float32)
+        updates, opt_state = opt.update(
+            {"w": jnp.asarray(g)}, opt_state, params
+        )
+        params = optax.apply_updates(params, updates)
+
+        ge = g + wd * want  # coupled L2 (torch adam.py F.adam)
+        m = b1 * m + (1 - b1) * ge
+        v = b2 * v + (1 - b2) * ge * ge
+        mh = m / (1 - b1**t)
+        vh = v / (1 - b2**t)
+        want = want - lr * mh / (np.sqrt(vh) + eps)
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), want, rtol=1e-5, atol=1e-6
+        )
