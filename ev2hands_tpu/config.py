@@ -172,9 +172,12 @@ class ModelConfig:
     # Mixed-precision TRAINING (TPU-idiomatic, default off = reference-f32
     # parity). The fat Dense/Conv chains — set-abstraction grouped convs,
     # feature propagation, query convs, classifier trunk — compute in
-    # bfloat16 (flax ``dtype=bfloat16``: inputs+params cast at the matmul,
-    # one MXU pass instead of f32's three, half the HBM bytes on the
-    # [B, S, K, C] grouped tensors). Parameters, optimizer state, BatchNorm
+    # bfloat16 (flax ``dtype=bfloat16``). NOTE the MXU already runs f32
+    # matmuls as bf16 passes at JAX's default precision, so the win here is
+    # bandwidth, not FLOPs: activations stored/streamed at half the HBM
+    # bytes on the [B, S, K, C] grouped tensors (fwd residuals AND their
+    # backward re-reads), and half the VPU elementwise work between dots.
+    # Parameters, optimizer state, BatchNorm
     # statistics (flax's dtype promotion keeps the normalization/stat math
     # in f32 because params are f32), the output heads (classifier logits,
     # regressor fc), MANO, and losses all stay float32. Eval traces are
