@@ -1,0 +1,79 @@
+"""Serving export (ev2hands_tpu/export.py): the serialized StableHLO
+artifact reproduces the live inference pipeline bitwise and round-trips
+through disk. CPU-platform export here; the same API exports for TPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ev2hands_tpu.config import DEFAULT_CONFIG
+from ev2hands_tpu.export import export_serving, load_serving, make_serving_fn
+from ev2hands_tpu.model import TEHNet
+from ev2hands_tpu.train import build_hands, create_train_state
+
+
+@pytest.fixture(scope="module")
+def setup():
+    c = DEFAULT_CONFIG
+    cfg = c.replace(
+        model=c.model.__class__(n_points=128, fps_deterministic=True),
+        sensor=c.sensor.__class__(width=64, height=48),
+    )
+    hands_obj = build_hands(cfg, synthetic=True)
+    hands = {s: h.params for s, h in hands_obj.items()}
+    net = TEHNet(cfg=cfg.model)
+    state = create_train_state(net, cfg, jax.random.PRNGKey(0),
+                               optax.adam(1e-3))
+    weights = {"params": state.params, "batch_stats": state.batch_stats}
+
+    rng = np.random.RandomState(0)
+    B, N = 2, 512
+    events = np.stack([
+        rng.randint(0, cfg.sensor.width, (B, N)).astype(np.float32),
+        rng.randint(0, cfg.sensor.height, (B, N)).astype(np.float32),
+        np.sort(rng.rand(B, N).astype(np.float32) * 2.0, axis=-1),  # ms
+        rng.randint(0, 2, (B, N)).astype(np.float32),
+    ], axis=-1)
+    valid = np.ones((B, N), bool)
+    valid[1, 400:] = False
+    return cfg, net, hands, weights, jnp.asarray(events), jnp.asarray(valid)
+
+
+def test_export_roundtrip_bitwise(setup, tmp_path):
+    cfg, net, hands, weights, events, valid = setup
+    path = str(tmp_path / "tehnet.jaxexport")
+    data = export_serving(
+        net, hands, cfg, weights, batch_size=2,
+        max_events=events.shape[1], platforms=("cpu",), path=path,
+    )
+    assert len(data) > 1000
+    served = load_serving(path)
+
+    key = jax.random.PRNGKey(7)
+    key_data = jax.random.key_data(key)
+    got = served(events, valid, key_data)
+
+    # jit the live reference: the artifact is a compiled program, and
+    # eager-vs-jitted fusion differ at float summation order
+    live = jax.jit(make_serving_fn(net, hands, cfg, weights=weights))
+    want = live(events, valid, key)
+
+    assert sorted(got.keys()) == sorted(want.keys())
+    for k in want:
+        assert np.array_equal(np.asarray(got[k]), np.asarray(want[k])), k
+    assert got["left_vertices"].shape == (2, 778, 3)
+    assert got["seg"].shape == (2, cfg.model.n_points)
+
+
+def test_export_tpu_platform_lowering(setup):
+    """Cross-platform lowering: a TPU-platform artifact exports from this
+    CPU-only host (no execution here — the lowering itself is the check;
+    Pallas gates are off at CPU trace time, so the module is pure XLA)."""
+    cfg, net, hands, weights, events, valid = setup
+    data = export_serving(
+        net, hands, cfg, weights, batch_size=2,
+        max_events=events.shape[1], platforms=("tpu",),
+    )
+    assert len(data) > 1000
