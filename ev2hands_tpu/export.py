@@ -79,29 +79,54 @@ def export_serving(
     batch_size: int,
     max_events: int = 8192,
     platforms: Sequence[str] = ("tpu",),
+    data_parallel: int = 0,
     path: Optional[str] = None,
 ) -> bytes:
     """Serialize the serving function to a StableHLO artifact.
 
     ``max_events`` is the padded raw-window capacity (the ERPC transform
-    resamples to ``cfg.model.n_points``). Returns the serialized bytes and
-    optionally writes them to ``path``.
+    resamples to ``cfg.model.n_points``). ``data_parallel=N`` exports a
+    multi-chip module: the batch shards over a ``data`` mesh axis, weights
+    replicate, and the artifact records the shardings — the loading process
+    just needs N devices and sharded inputs (``jax.export`` pins
+    ``nr_devices``). Returns the serialized bytes and optionally writes
+    them to ``path``.
     """
     from jax import export as jex
 
     fn = make_serving_fn(net, hands, cfg, weights=weights)
-    specs = (
-        jax.ShapeDtypeStruct((batch_size, max_events, 4), jnp.float32),
-        jax.ShapeDtypeStruct((batch_size, max_events), jnp.bool_),
-        jax.ShapeDtypeStruct((2,), jnp.uint32),
-    )
 
     # typed PRNG keys don't serialize as module inputs; the exported module
     # takes a plain uint32[2] seed (the raw threefry key data)
     def serve(events, valid, key_data):
         return fn(events, valid, jax.random.wrap_key_data(key_data))
 
-    exp = jex.export(jax.jit(serve), platforms=list(platforms))(*specs)
+    ev_spec = ((batch_size, max_events, 4), jnp.float32)
+    va_spec = ((batch_size, max_events), jnp.bool_)
+    key_spec = ((2,), jnp.uint32)
+    if data_parallel:
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        assert batch_size % data_parallel == 0, (batch_size, data_parallel)
+        mesh = Mesh(np.array(jax.devices()[:data_parallel]), ("data",))
+        bsh = NamedSharding(mesh, PartitionSpec("data"))
+        rep = NamedSharding(mesh, PartitionSpec())
+        jitted = jax.jit(serve, in_shardings=(bsh, bsh, rep))
+        specs = (
+            jax.ShapeDtypeStruct(*ev_spec, sharding=bsh),
+            jax.ShapeDtypeStruct(*va_spec, sharding=bsh),
+            jax.ShapeDtypeStruct(*key_spec, sharding=rep),
+        )
+    else:
+        jitted = jax.jit(serve)
+        specs = (
+            jax.ShapeDtypeStruct(*ev_spec),
+            jax.ShapeDtypeStruct(*va_spec),
+            jax.ShapeDtypeStruct(*key_spec),
+        )
+
+    exp = jex.export(jitted, platforms=list(platforms))(*specs)
     data = exp.serialize()
     if path:
         with open(path, "wb") as f:

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--max_events", type=int, default=8192)
     ap.add_argument("--platforms", default="tpu")
+    ap.add_argument("--data_parallel", type=int, default=0,
+                    help="export a multi-chip module: batch sharded over a"
+                         " 'data' mesh axis of N devices")
     ap.add_argument("--synthetic_mano", action="store_true")
     ap.add_argument("--host_platform", default="",
                     help="force the host backend for tracing (e.g. 'cpu' — "
@@ -58,10 +61,12 @@ def main():
         net, hands, cfg,
         {"params": state.params, "batch_stats": state.batch_stats},
         batch_size=args.batch_size, max_events=args.max_events,
-        platforms=args.platforms.split(","), path=args.out,
+        platforms=args.platforms.split(","),
+        data_parallel=args.data_parallel, path=args.out,
     )
     print(f"wrote {args.out}: {len(data) / 1e6:.1f} MB, "
-          f"platforms={args.platforms}, batch={args.batch_size}")
+          f"platforms={args.platforms}, batch={args.batch_size}, "
+          f"data_parallel={args.data_parallel}")
 
 
 if __name__ == "__main__":

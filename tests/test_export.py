@@ -77,3 +77,40 @@ def test_export_tpu_platform_lowering(setup):
         max_events=events.shape[1], platforms=("tpu",),
     )
     assert len(data) > 1000
+
+
+def test_export_data_parallel_8(setup, tmp_path):
+    """Multi-chip serving artifact: batch sharded over an 8-device 'data'
+    mesh, outputs equal to the single-device artifact's."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    cfg, net, hands, weights, events, valid = setup
+    # 8 windows: tile the 2-window fixture
+    ev8 = jnp.tile(events, (4, 1, 1))
+    va8 = jnp.tile(valid, (4, 1))
+    key = jax.random.PRNGKey(7)
+    key_data = jax.random.key_data(key)
+
+    data = export_serving(
+        net, hands, cfg, weights, batch_size=8,
+        max_events=events.shape[1], platforms=("cpu",), data_parallel=8,
+    )
+    served = load_serving(data)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    bsh = NamedSharding(mesh, PartitionSpec("data"))
+    rep = NamedSharding(mesh, PartitionSpec())
+    got = served(
+        jax.device_put(ev8, bsh), jax.device_put(va8, bsh),
+        jax.device_put(key_data, rep),
+    )
+
+    single = export_serving(
+        net, hands, cfg, weights, batch_size=8,
+        max_events=events.shape[1], platforms=("cpu",),
+    )
+    want = load_serving(single)(ev8, va8, key_data)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-6, atol=1e-6
+        )
