@@ -80,6 +80,7 @@ def export_serving(
     max_events: int = 8192,
     platforms: Sequence[str] = ("tpu",),
     data_parallel: int = 0,
+    mesh: Optional[object] = None,
     path: Optional[str] = None,
 ) -> bytes:
     """Serialize the serving function to a StableHLO artifact.
@@ -89,8 +90,11 @@ def export_serving(
     multi-chip module: the batch shards over a ``data`` mesh axis, weights
     replicate, and the artifact records the shardings — the loading process
     just needs N devices and sharded inputs (``jax.export`` pins
-    ``nr_devices``). Returns the serialized bytes and optionally writes
-    them to ``path``.
+    ``nr_devices``). ``mesh`` overrides the mesh entirely (any mesh with a
+    ``data`` axis — e.g. a (data, event) mesh matching a
+    ``TEHNet(event_mesh=...)`` net, the context-parallel serving module for
+    windows past one chip's budget). Returns the serialized bytes and
+    optionally writes them to ``path``.
     """
     from jax import export as jex
 
@@ -104,12 +108,15 @@ def export_serving(
     ev_spec = ((batch_size, max_events, 4), jnp.float32)
     va_spec = ((batch_size, max_events), jnp.bool_)
     key_spec = ((2,), jnp.uint32)
-    if data_parallel:
+    if mesh is None and data_parallel:
         import numpy as np
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        from jax.sharding import Mesh
 
-        assert batch_size % data_parallel == 0, (batch_size, data_parallel)
         mesh = Mesh(np.array(jax.devices()[:data_parallel]), ("data",))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        assert batch_size % mesh.shape["data"] == 0, (batch_size, mesh.shape)
         bsh = NamedSharding(mesh, PartitionSpec("data"))
         rep = NamedSharding(mesh, PartitionSpec())
         jitted = jax.jit(serve, in_shardings=(bsh, bsh, rep))

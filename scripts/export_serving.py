@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--data_parallel", type=int, default=0,
                     help="export a multi-chip module: batch sharded over a"
                          " 'data' mesh axis of N devices")
+    ap.add_argument("--event_parallel", type=int, default=0,
+                    help="shard the event dimension over E devices too"
+                         " (context-parallel serving; mesh is"
+                         " (data_parallel or 1) x E)")
     ap.add_argument("--synthetic_mano", action="store_true")
     ap.add_argument("--host_platform", default="",
                     help="force the host backend for tracing (e.g. 'cpu' — "
@@ -46,9 +50,22 @@ def main():
     from ev2hands_tpu.train import build_hands, create_train_state
 
     cfg = DEFAULT_CONFIG
+    mesh = None
+    if args.event_parallel:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        d = max(1, args.data_parallel)
+        e = args.event_parallel
+        mesh = Mesh(
+            np.array(jax.devices()[: d * e]).reshape(d, e),
+            ("data", "event"),
+        )
+        cfg = cfg.replace(model=cfg.model.__class__(
+            **{**cfg.model.__dict__, "event_parallel": True}))
     hands_obj = build_hands(cfg, synthetic=args.synthetic_mano)
     hands = {s: h.params for s, h in hands_obj.items()}
-    net = TEHNet(cfg=cfg.model)
+    net = TEHNet(cfg=cfg.model, event_mesh=mesh)
     state = create_train_state(
         net, cfg, jax.random.PRNGKey(0), optax.adam(1e-3)
     )
@@ -62,11 +79,12 @@ def main():
         {"params": state.params, "batch_stats": state.batch_stats},
         batch_size=args.batch_size, max_events=args.max_events,
         platforms=args.platforms.split(","),
-        data_parallel=args.data_parallel, path=args.out,
+        data_parallel=args.data_parallel, mesh=mesh, path=args.out,
     )
     print(f"wrote {args.out}: {len(data) / 1e6:.1f} MB, "
           f"platforms={args.platforms}, batch={args.batch_size}, "
-          f"data_parallel={args.data_parallel}")
+          f"data_parallel={args.data_parallel}, "
+          f"event_parallel={args.event_parallel}")
 
 
 if __name__ == "__main__":

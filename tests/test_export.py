@@ -114,3 +114,40 @@ def test_export_data_parallel_8(setup, tmp_path):
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(want[k]), rtol=1e-6, atol=1e-6
         )
+
+
+def test_export_event_sharded(setup):
+    """Context-parallel serving artifact: a (data=2, event=4) mesh module
+    (the event dimension sharded inside via shard_map) exports, reloads,
+    and matches the single-device artifact to float-reassociation level."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    cfg, net, hands, weights, events, valid = setup
+    cfg_ev = cfg.replace(model=cfg.model.__class__(
+        **{**cfg.model.__dict__, "event_parallel": True}))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "event"))
+    net_ev = TEHNet(cfg=cfg_ev.model, event_mesh=mesh)
+
+    data = export_serving(
+        net_ev, hands, cfg_ev, weights, batch_size=2,
+        max_events=events.shape[1], platforms=("cpu",), mesh=mesh,
+    )
+    served = load_serving(data)
+
+    key_data = jax.random.key_data(jax.random.PRNGKey(7))
+    bsh = NamedSharding(mesh, PartitionSpec("data"))
+    rep = NamedSharding(mesh, PartitionSpec())
+    got = served(
+        jax.device_put(events, bsh), jax.device_put(valid, bsh),
+        jax.device_put(key_data, rep),
+    )
+
+    single = export_serving(
+        net, hands, cfg, weights, batch_size=2,
+        max_events=events.shape[1], platforms=("cpu",),
+    )
+    want = load_serving(single)(events, valid, key_data)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-5, atol=1e-5
+        )
