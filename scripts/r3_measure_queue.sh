@@ -53,4 +53,5 @@ run_step gather_step 3600 python scripts/ab_pallas_gather.py --step-only
 run_step eval_group  5400 python scripts/ab_eval_grouping.py
 run_step gather_scaling 3600 python scripts/gather_scaling.py
 run_step bf16        5400 python scripts/ab_bf16.py
+run_step serving     3600 python scripts/bench_serving.py
 echo "QUEUE_DONE $(date +%H:%M:%S)"
