@@ -28,8 +28,15 @@ CONFIGS = {
         "grouping_sa1": "gather", "grouping_regressor": "gather",
         "pallas_gather": True,
     },
-    # everything gather (sa2 falls back to the XLA index_points gather)
+    # everything gather — sa2 rides the wide-channel kernel path
+    # (pallas_gather_wide defaults on; 128-lane hi|mid|lo segments)
     "all_gather": {"grouping": "gather", "pallas_gather": True},
+    # same but sa2 on the plain XLA index_points gather: isolates whether
+    # the wide-C kernel pays for itself at sa2's small shapes (N=512, S=128)
+    "all_gather_nowide": {
+        "grouping": "gather", "pallas_gather": True,
+        "pallas_gather_wide": False,
+    },
 }
 
 
