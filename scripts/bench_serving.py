@@ -52,6 +52,11 @@ def main():
         cfg = cfg.replace(model=cfg.model.__class__(
             **{**cfg.model.__dict__, "n_points": args.n_points}))
     platform = jax.default_backend()
+    if platform not in ("cpu", "tpu", "cuda", "rocm"):
+        # experimental plugin platforms (the axon tunnel) expose TPU devices
+        # under a nonstandard backend name jax.export won't accept
+        platform = ("tpu" if any(d.platform == "tpu" for d in jax.devices())
+                    else "cpu")
     hands_obj = build_hands(cfg, synthetic=True)
     hands = {s: h.params for s, h in hands_obj.items()}
     net = TEHNet(cfg=cfg.model)
