@@ -155,7 +155,13 @@ def finetune(
     hands = {s: h.params for s, h in hands_obj.items()}
     ctx = build_collision_context(hands_obj)
     net = TEHNet(cfg=cfg.model)
-    optimizer = optax.adam(cfg.train.learning_rate)
+    # same coupled-L2 semantics as train.py: the reference finetuner is
+    # ``optim.Adam(..., weight_decay=wd)`` with wd=0 by default
+    # (``/root/reference/src/Ev2Hands/finetune.py:27,59-60``)
+    optimizer = optax.chain(
+        optax.add_decayed_weights(cfg.train.weight_decay),
+        optax.adam(cfg.train.learning_rate),
+    ) if cfg.train.weight_decay else optax.adam(cfg.train.learning_rate)
     state = create_train_state(net, cfg, jax.random.PRNGKey(cfg.train.seed), optimizer)
     logger.log_run_config(cfg, net)
 
