@@ -37,7 +37,10 @@ def op_level(B=8, N=2048, S=512, nb=128):
     rng = np.random.RandomState(0)
     xyz0 = jnp.asarray(np.clip(rng.randn(B, N, 3) * 0.4, -1, 1), jnp.float32)
     feats0 = jnp.asarray(rng.randn(B, N, 5).astype(np.float32))
-    fps0 = jnp.asarray(rng.choice(N, size=(B, S), replace=False).astype(np.int32))
+    # replace=False is over the TOTAL size in numpy; sample per batch row.
+    fps0 = jnp.asarray(np.stack([
+        rng.choice(N, size=S, replace=False) for _ in range(B)
+    ]).astype(np.int32))
 
     def old_fn(xyz, feats, new_xyz):
         sq = square_distance(new_xyz, xyz)
@@ -94,7 +97,9 @@ def op_level_wide(B=8, N=512, S=128, nb=128):
     rng = np.random.RandomState(0)
     xyz0 = jnp.asarray(np.clip(rng.randn(B, N, 3) * 0.4, -1, 1), jnp.float32)
     feats0 = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
-    fps0 = jnp.asarray(rng.choice(N, size=(B, S), replace=False).astype(np.int32))
+    fps0 = jnp.asarray(np.stack([
+        rng.choice(N, size=S, replace=False) for _ in range(B)
+    ]).astype(np.int32))
 
     def old_fn(xyz, feats, new_xyz):
         sq = square_distance(new_xyz, xyz)
