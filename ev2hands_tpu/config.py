@@ -137,8 +137,14 @@ class ModelConfig:
     # TEHNet sa1 + both regressor sa1s) ride one contiguous stack; sa2's
     # 323-channel source is covered too when pallas_gather_wide is set. TPU
     # only; forward is bitwise-equal to index_points (tested in interpret
-    # mode AND on-chip), backward keeps XLA's scatter-add. Default pending
-    # the on-TPU step-level A/B (scripts/ab_pallas_gather.py).
+    # mode AND on-chip), backward keeps XLA's scatter-add.
+    # STATUS (TPU v5e, full train step B=8 N=2048, interleaved honest A/B,
+    # scripts/ab_pallas_gather.py): LOSES end-to-end — off 115.3/118.3 w/s
+    # vs on 108.3/106.9 (narrow-only 103.5/103.2; +pallas bwd 103.5/102.2).
+    # The Morton permutation of the source rows (two full-N lane gathers +
+    # their scatter transpose in the backward) and the permuted-space
+    # selection cost more than the one-hot dots save. Default OFF; kept as
+    # a tested exploration.
     pallas_gather: bool = False
     # Point-tile size of the one-hot gather kernel (smaller tiles -> tighter
     # activity skip; each tile costs one [K, nb] @ [nb, 3C] MXU pass).
@@ -146,14 +152,20 @@ class ModelConfig:
     # Backward of the one-hot gather: False = XLA's scatter-add (the lowering
     # XLA itself picks for gather gradients, measured fine in the train
     # step), True = the transposed one-hot kernel (oh^T @ g3 per active
-    # tile, same float math up to summation order). Pending on-TPU A/B.
+    # tile, same float math up to summation order). Measured SLOWER than
+    # XLA's scatter-add in the full step (102.2-103.5 vs 106.9-108.3 w/s
+    # with pallas_gather on) — consistent with the earlier sort-based-VJP
+    # negative result: don't replace XLA's gather transpose.
     pallas_gather_bwd: bool = False
     # Extend the one-hot gather to wide-channel sources — sa2's [B, 512,
     # 320(+3)] rows, where each hi|mid|lo term pads to a 128-lane segment
     # (seg=384) so the in-kernel slices stay lane-aligned. sa2's XLA gather
     # moves 192 rows x 323 ch per centroid; the kernel streams ~2 of 4 point
     # tiles as one [192, 128] @ [128, 1152] bf16 dot each. Only consulted
-    # when pallas_gather is on. Pending on-TPU A/B.
+    # when pallas_gather is on. Step-level A/B: wide beats narrow-only
+    # (108.3/106.9 vs 103.5/103.2 w/s) — sa2's XLA gather is the worse
+    # fallback — but the whole pallas_gather family still loses to
+    # index_points end-to-end (see pallas_gather above).
     pallas_gather_wide: bool = True
     # Run ALL of a layer's MSG scales in ONE block-sparse kernel pass
     # (block-diagonal stacked weights, union tile activity): the chain is
