@@ -81,10 +81,12 @@ class ModelConfig:
     # Per-layer grouping overrides (None -> fall back to ``grouping``).
     # The formulations' eval numerics are identical, but their speed is not:
     # the dense/sparse path streams whole point tiles per centroid while the
-    # gather path touches exactly the K selected slots — with the one-hot
-    # MXU gather (pallas_gather) the gather formulation becomes competitive
-    # for the big sa1 scales. Lets eval mix per layer; pending on-TPU A/B
-    # (scripts/ab_eval_grouping.py).
+    # gather path touches exactly the K selected slots. On-TPU full-pipeline
+    # A/B (scripts/ab_eval_grouping.py, B=32 N=2048, two interleaved reps):
+    # all-dense 380.4/383.9 w/s; sa1 via one-hot gather 282.5/280.3;
+    # sa1+regressors 276.2/276.3; everything gather 258.3/256.2 (nowide
+    # 255.9/255.6). The dense/sparse production config wins every mix —
+    # overrides stay None; kept for experimentation.
     grouping_sa1: Optional[str] = None
     grouping_sa2: Optional[str] = None
     grouping_regressor: Optional[str] = None
