@@ -169,6 +169,19 @@ class ModelConfig:
     # fallback — but the whole pallas_gather family still loses to
     # index_points end-to-end (see pallas_gather above).
     pallas_gather_wide: bool = True
+    # Gather-mode (train-path) first-conv u/v split: apply each scale's
+    # conv0 per POINT before the neighbor gather and reconstruct the pair
+    # activation as u_n - v_s + b (the same linearity the dense eval path
+    # exploits). Motivated by the measured TPU gather cost law
+    # (scripts/gather_scaling.py): cost is per ROW and invariant to row
+    # BYTES (7.4 ms for the production row count at 8 and at 128 channels
+    # alike), so gathering the wider conv0 outputs is free while the
+    # per-pair conv0 dots and the grouped concat/subtract drop out of
+    # forward and backward. BN still normalizes the same selected-neighbor
+    # multiset; values match the reference's grouped-conv formulation up to
+    # float rounding (documented deviation; exact in exact arithmetic).
+    # Pending on-TPU step-level A/B (scripts/ab_uv_gather.py).
+    uv_split_gather: bool = False
     # Run ALL of a layer's MSG scales in ONE block-sparse kernel pass
     # (block-diagonal stacked weights, union tile activity): the chain is
     # per-dot-issue-bound and per-scale passes pay dots ~ SUM of activity

@@ -141,8 +141,17 @@ class SetAbstractionMsg(nn.Module):
     # One fused kernel pass over all scales (see ModelConfig.pallas_fused_msg).
     pallas_fused: bool = False
     # Gather-mode (train-path) neighbor materialization through the
-    # block-sparse one-hot MXU gather (see ModelConfig.pallas_gather).
-    pallas_gather: bool = True
+    # block-sparse one-hot MXU gather — measured slower end-to-end than
+    # XLA's index_points; default matches ModelConfig.pallas_gather.
+    pallas_gather: bool = False
+    # Gather-mode first-conv u/v split (see ModelConfig.uv_split_gather):
+    # apply each scale's conv0 per POINT before the gather and reconstruct
+    # the pair activation as u_n - v_s + b. The TPU gather cost law is
+    # per-row and invariant to row bytes (scripts/gather_scaling.py), so
+    # gathering the wider conv0 outputs costs the same as the raw rows
+    # while the per-pair conv0 dots and the grouped concat/subtract
+    # disappear from forward AND backward.
+    uv_gather: bool = False
     pallas_gather_nb: int = 128
     # backward of the one-hot gather: XLA scatter-add (False) or the
     # transposed one-hot kernel (True) — see ModelConfig.pallas_gather_bwd
@@ -223,8 +232,51 @@ class SetAbstractionMsg(nn.Module):
                 xyz_p = jnp.take_along_axis(xyz, perm[..., None], axis=1)
                 points_p = jnp.take_along_axis(points, perm[..., None], axis=1)
 
+        # bf16 compute only on the training gather branch: the dense/pallas
+        # eval paths fold BN into f32 weights, and _dense_train_scale's
+        # manual weighted-stat sweeps stay f32 (dtype applies per-trace;
+        # train is a static bool, so eval traces never see the cast)
+        dt = (
+            jnp.bfloat16 if (self.bf16 and train and gather_mode) else None
+        )
+        use_uv = (
+            gather_mode and not use_pgather and self.uv_gather
+            and points is not None
+        )
         gathered = None
-        if gather_mode and use_pgather:
+        uv_convs = None
+        if use_uv:
+            # u/v split of every scale's FIRST conv, applied per point
+            # BEFORE the gather: conv0([f_n, x_n - c_s]) is linear, so
+            # z[s, n] = u_n - v_s + b with u_n = conv0([f_n, x_n]),
+            # v_s = conv0([0, c_s]) (the zero-input call restores the bias
+            # v subtracts). The TPU gather cost law is per-row, invariant
+            # to row bytes (scripts/gather_scaling.py: 7.4 ms at 8 AND 128
+            # channels for the production row count), so gathering the
+            # wider conv0 outputs costs the same as the raw rows while the
+            # per-pair conv0 dots and the grouped concat/subtract drop out
+            # of forward and backward. Values match the reference's
+            # grouped-conv formulation up to float rounding (same identity
+            # the dense eval path uses; BN sees the same selected-neighbor
+            # multiset, so stat semantics are unchanged).
+            idxs = [
+                query_ball_point(r, self.nsample_list[i], xyz, new_xyz,
+                                 sqrdists=sqrdists)
+                for i, r in enumerate(self.radius_list)
+            ]
+            cat_idx = jnp.concatenate(idxs, axis=-1)   # [B, S, sum(K)]
+            uv_convs = [
+                [nn.Dense(w, dtype=dt, name=f"conv_{i}_{j}")
+                 for j, w in enumerate(self.mlps[i])]
+                for i in range(len(self.radius_list))
+            ]
+            src_cat = jnp.concatenate([points, xyz], axis=-1)
+            u_cat = jnp.concatenate(
+                [uv_convs[i][0](src_cat)
+                 for i in range(len(self.radius_list))], axis=-1,
+            )                                          # [B, N, sum(C1_i)]
+            gathered = index_points(u_cat, cat_idx)    # [B, S, sum(K), .]
+        elif gather_mode and use_pgather:
             # Gather mode on TPU: ball-query in Morton-permuted column space
             # (selection bitwise-unchanged — the packed top_k score is the
             # ORIGINAL index) and materialize the neighbors with the
@@ -290,19 +342,16 @@ class SetAbstractionMsg(nn.Module):
                 xyz, new_xyz, sqrdists, perm, xyz_p, points_p
             )
 
-        # bf16 compute only on the training gather branch: the dense/pallas
-        # eval paths fold BN into f32 weights, and _dense_train_scale's
-        # manual weighted-stat sweeps stay f32 (dtype applies per-trace;
-        # train is a static bool, so eval traces never see the cast)
-        dt = (
-            jnp.bfloat16 if (self.bf16 and train and gather_mode) else None
-        )
         outs = []
         k_off = 0
+        c_off = 0
         for i, radius in enumerate(self.radius_list):
             k = self.nsample_list[i]
-            convs = [nn.Dense(w, dtype=dt, name=f"conv_{i}_{j}")
-                     for j, w in enumerate(self.mlps[i])]
+            convs = (
+                uv_convs[i] if use_uv else
+                [nn.Dense(w, dtype=dt, name=f"conv_{i}_{j}")
+                 for j, w in enumerate(self.mlps[i])]
+            )
             if use_dense_train:
                 # PairBatchNorm owns the same bn_{i}_{j} param/stat tree as
                 # nn.BatchNorm; only one of the two binds a given name per
@@ -339,6 +388,25 @@ class SetAbstractionMsg(nn.Module):
                         xyz, points, new_xyz, sqrdists, radius, k, convs, bns
                     )
                 )
+                continue
+
+            if use_uv:
+                # z[s, n] = u_n - v_s + b (see the u/v split above); the
+                # gathered rows already carry every scale's conv0 output
+                c1 = self.mlps[i][0]
+                u_g = gathered[:, :, k_off : k_off + k, c_off : c_off + c1]
+                k_off += k
+                c_off += c1
+                D = points.shape[-1]
+                v = convs[0](jnp.concatenate(
+                    [jnp.zeros((xyz.shape[0], new_xyz.shape[1], D),
+                               xyz.dtype), new_xyz], axis=-1))   # [B, S, C1]
+                zb = convs[0](jnp.zeros((1, 1, D + 3), xyz.dtype))  # bias
+                z = u_g - v[:, :, None, :] + zb[:, None]
+                x = nn.relu(bns[0](z))
+                for conv, bn in zip(convs[1:], bns[1:]):
+                    x = nn.relu(bn(conv(x)))
+                outs.append(jnp.max(x, axis=2))  # [B, S, width]
                 continue
 
             g = gathered[:, :, k_off : k_off + k, :]

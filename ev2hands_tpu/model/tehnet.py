@@ -71,7 +71,8 @@ class ManoRegressor(nn.Module):
     pallas_grouping: bool = True
     pallas_nb: int = 256
     pallas_fused: bool = False
-    pallas_gather: bool = True
+    pallas_gather: bool = False  # matches ModelConfig.pallas_gather (measured)
+    uv_gather: bool = False      # see ModelConfig.uv_split_gather
     pallas_gather_nb: int = 128
     pallas_gather_bwd: bool = False
     pallas_gather_wide: bool = True
@@ -99,6 +100,7 @@ class ManoRegressor(nn.Module):
             pallas_nb=self.pallas_nb,
             pallas_fused=self.pallas_fused,
             pallas_gather=self.pallas_gather,
+            uv_gather=self.uv_gather,
             pallas_gather_nb=self.pallas_gather_nb,
             pallas_gather_bwd=self.pallas_gather_bwd,
             pallas_gather_wide=self.pallas_gather_wide,
@@ -171,6 +173,7 @@ class TEHNet(nn.Module):
             pallas_nb=cfg.pallas_nb,
             pallas_fused=cfg.pallas_fused_msg,
             pallas_gather=cfg.pallas_gather,
+            uv_gather=cfg.uv_split_gather,
             pallas_gather_nb=cfg.pallas_gather_nb,
             pallas_gather_bwd=cfg.pallas_gather_bwd,
             pallas_gather_wide=cfg.pallas_gather_wide,
@@ -190,6 +193,7 @@ class TEHNet(nn.Module):
             pallas_nb=cfg.pallas_nb,
             pallas_fused=cfg.pallas_fused_msg,
             pallas_gather=cfg.pallas_gather,
+            uv_gather=cfg.uv_split_gather,
             pallas_gather_nb=cfg.pallas_gather_nb,
             pallas_gather_bwd=cfg.pallas_gather_bwd,
             pallas_gather_wide=cfg.pallas_gather_wide,
@@ -273,6 +277,7 @@ class TEHNet(nn.Module):
                 pallas_nb=cfg.pallas_nb,
                 pallas_fused=cfg.pallas_fused_msg,
                 pallas_gather=cfg.pallas_gather,
+                uv_gather=cfg.uv_split_gather,
                 pallas_gather_nb=cfg.pallas_gather_nb,
                 pallas_gather_bwd=cfg.pallas_gather_bwd,
                 pallas_gather_wide=cfg.pallas_gather_wide,
@@ -287,6 +292,7 @@ class TEHNet(nn.Module):
                 pallas_nb=cfg.pallas_nb,
                 pallas_fused=cfg.pallas_fused_msg,
                 pallas_gather=cfg.pallas_gather,
+                uv_gather=cfg.uv_split_gather,
                 pallas_gather_nb=cfg.pallas_gather_nb,
                 pallas_gather_bwd=cfg.pallas_gather_bwd,
                 pallas_gather_wide=cfg.pallas_gather_wide,

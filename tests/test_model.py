@@ -393,3 +393,138 @@ def test_dense_train_full_model_matches_gather():
         assert rel < 1e-8, rel
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_uv_gather_matches_gather_train():
+    """The gather-mode u/v first-conv split (``uv_gather``: conv0 applied per
+    point before the gather, pair activation reconstructed as u_n - v_s + b)
+    must reproduce the plain gather path's TRAINING forward: pooled outputs,
+    updated BatchNorm batch statistics (same selected-neighbor multiset),
+    and parameter gradients — up to float accumulation order."""
+    import jax.flatten_util
+
+    from ev2hands_tpu.model.layers import SetAbstractionMsg
+
+    key = jax.random.PRNGKey(3)
+    B, N, D = 2, 192, 5
+    xyz = jax.random.normal(key, (B, N, 3)) * 0.5
+    pts = jax.random.normal(jax.random.fold_in(key, 1), (B, N, D))
+
+    def build(uv):
+        return SetAbstractionMsg(
+            npoint=48,
+            radius_list=(0.2, 0.4),
+            nsample_list=(8, 16),
+            mlps=((16, 16, 32), (16, 24, 32)),
+            grouping="gather",
+            uv_gather=uv,
+            pallas_grouping=False,
+        )
+
+    ref = build(False)
+    variables = ref.init({"params": jax.random.PRNGKey(0)}, xyz, pts, True)
+    # identical param tree: the uv path creates the same conv_{i}_{j} /
+    # bn_{i}_{j} modules, just earlier in the trace
+    uv_vars = build(True).init(
+        {"params": jax.random.PRNGKey(0)}, xyz, pts, True
+    )
+    assert jax.tree.structure(variables) == jax.tree.structure(uv_vars)
+
+    outs, stats, grads = {}, {}, {}
+    for name, mod in (("gather", ref), ("uv", build(True))):
+        def fwd(params):
+            (nx, np_), upd = mod.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                xyz, pts, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(np_**2), (np_, upd["batch_stats"])
+
+        (loss, (out, st)), g = jax.value_and_grad(fwd, has_aux=True)(
+            variables["params"]
+        )
+        outs[name], stats[name], grads[name] = out, st, g
+
+    np.testing.assert_allclose(
+        np.asarray(outs["gather"]), np.asarray(outs["uv"]), atol=5e-5
+    )
+    g_leaves = jax.tree.leaves_with_path(stats["gather"])
+    d_leaves = jax.tree.leaves_with_path(stats["uv"])
+    for (pg, lg), (pd, ld) in zip(g_leaves, d_leaves):
+        assert pg == pd
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(ld), atol=2e-5, err_msg=str(pg),
+        )
+    fg, _ = jax.flatten_util.ravel_pytree(grads["gather"])
+    fd, _ = jax.flatten_util.ravel_pytree(grads["uv"])
+    rel = np.linalg.norm(np.asarray(fg) - np.asarray(fd)) / (
+        np.linalg.norm(np.asarray(fg)) + 1e-12
+    )
+    assert rel < 1e-4, rel
+
+
+def test_uv_gather_full_model_train_step_close():
+    """Full TEHNet training forward + loss + batch stats + grads:
+    uv_split_gather == plain gather, compared in float64 where the u/v
+    linearity identity is exact (in f32 the ~1e-6 per-layer rounding
+    amplifies through the 10-layer stack and flips max-pool/relu selection,
+    exactly like the dense_train comparison above — the per-layer f32
+    closeness lives in test_uv_gather_matches_gather_train)."""
+    import jax.flatten_util
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, 192, 5),
+                              dtype=jnp.float64)
+        res = {}
+        for name, uv in (("gather", False), ("uv", True)):
+            cfg = ModelConfig(n_points=192, fps_deterministic=True,
+                              grouping="gather", uv_split_gather=uv,
+                              pallas_grouping=False)
+            net = TEHNet(cfg=cfg)
+            variables = net.init({"params": jax.random.PRNGKey(0)}, x,
+                                 train=False)
+            variables = jax.tree.map(
+                lambda a: a.astype(jnp.float64)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
+
+            def fwd(params):
+                out, upd = net.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    x, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(11),
+                          "fps": jax.random.PRNGKey(12)},
+                    mutable=["batch_stats"],
+                )
+                loss = (jnp.sum(out["class_logits"] ** 2)
+                        + sum(jnp.sum(out[s][k] ** 2)
+                              for s in ("left", "right")
+                              for k in ("global_orient", "hand_pose",
+                                        "betas", "transl")))
+                return loss, (out, upd["batch_stats"])
+
+            (loss, (out, st)), g = jax.value_and_grad(fwd, has_aux=True)(
+                variables["params"]
+            )
+            res[name] = (float(loss), out, st, g)
+
+        assert np.isfinite(res["gather"][0])
+        np.testing.assert_allclose(res["gather"][0], res["uv"][0], rtol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(res["gather"][1]["class_logits"]),
+            np.asarray(res["uv"][1]["class_logits"]), atol=1e-9,
+        )
+        sg = jax.tree.leaves_with_path(res["gather"][2])
+        sd = jax.tree.leaves_with_path(res["uv"][2])
+        for (pg, lg), (pd, ld) in zip(sg, sd):
+            assert pg == pd
+            np.testing.assert_allclose(np.asarray(lg), np.asarray(ld),
+                                       rtol=1e-9, atol=1e-9, err_msg=str(pg))
+        fg, _ = jax.flatten_util.ravel_pytree(res["gather"][3])
+        fd, _ = jax.flatten_util.ravel_pytree(res["uv"][3])
+        rel = np.linalg.norm(np.asarray(fg) - np.asarray(fd)) / (
+            np.linalg.norm(np.asarray(fg)) + 1e-30
+        )
+        assert rel < 1e-8, rel
+    finally:
+        jax.config.update("jax_enable_x64", False)
