@@ -375,6 +375,14 @@ def main():
     except Exception as e:
         print(f"# train-step bench failed: {e}", file=sys.stderr)
         train_wps = None
+    # mixed-precision training (ModelConfig.bf16_train, opt-in documented
+    # deviation — reference parity keeps the f32 line as THE train number;
+    # measured +18% on v5e, scripts/ab_bf16.py)
+    try:
+        train_bf16_wps = measure_train_step(bf16_train=True)
+    except Exception as e:
+        print(f"# bf16 train-step bench failed: {e}", file=sys.stderr)
+        train_bf16_wps = None
     torch_cpu = get_torch_baseline()
     vs = (ours / (10.0 * torch_cpu)) if torch_cpu else None
     print(json.dumps({
@@ -384,6 +392,9 @@ def main():
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "train_step_windows_per_sec": (
             round(train_wps, 2) if train_wps is not None else None
+        ),
+        "train_step_bf16_windows_per_sec": (
+            round(train_bf16_wps, 2) if train_bf16_wps is not None else None
         ),
         "flops_per_window": (
             round(flops_per_window) if flops_per_window is not None else None

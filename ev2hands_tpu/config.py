@@ -210,8 +210,13 @@ class ModelConfig:
     # regressor fc), MANO, and losses all stay float32. Eval traces are
     # bitwise-unchanged (the cast only applies when train=True). This is a
     # deliberate deviation from the reference's f32-only training
-    # (``train.py:22-151`` has no AMP); opt-in. Pending on-TPU A/B
-    # (scripts/ab_bf16.py).
+    # (``train.py:22-151`` has no AMP); opt-in.
+    # MEASURED (TPU v5e, full train step, interleaved honest A/B,
+    # scripts/ab_bf16.py): B=8 117.8/118.3 -> 140.5/137.0 w/s (+18%);
+    # B=16 109.1/109.3 -> 129.3/129.6 (+18.5%). Training-quality tests in
+    # tests/test_bf16.py (single-layer grad cosine + multi-step loss
+    # decrease). Default stays False for reference-f32 numerics parity;
+    # bench.py publishes both train lines.
     bf16_train: bool = False
     # Run the two MANO regressor heads as one h-stacked pass in the dense
     # eval path (shared FPS/selection, folded BN, batched matmuls) — exact
