@@ -324,17 +324,24 @@ def measure_torch_reference(batch_size=8, iters=3, n_points=2048):
 
 
 def get_torch_baseline():
+    cached = None
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cached = json.load(f)["torch_cpu_windows_per_sec"]
     try:
         wps = measure_torch_reference()
+        # Keep the BEST torch throughput observed on this host: the 1-core
+        # box is sometimes contended, and a depressed reference reading
+        # would flatter vs_baseline. Taking the max is conservative
+        # against us (idle-host measurement: 0.96 w/s).
+        if cached is not None:
+            wps = max(wps, cached)
         with open(BASELINE_CACHE, "w") as f:
             json.dump({"torch_cpu_windows_per_sec": wps}, f)
         return wps
     except Exception as e:
         print(f"# torch reference baseline failed ({e}); using cache", file=sys.stderr)
-        if os.path.exists(BASELINE_CACHE):
-            with open(BASELINE_CACHE) as f:
-                return json.load(f)["torch_cpu_windows_per_sec"]
-        return None
+        return cached
 
 
 def wait_for_tpu(max_wait_s=1800, probe_timeout_s=120):
