@@ -28,6 +28,24 @@ index as the top_k score while the columns ride in Morton order.
 
 Reference being replaced: the grouping gathers at
 ``/root/reference/src/Ev2Hands/model/pointnet2_utils.py:168-196``.
+
+STATUS (TPU v5e, honest key-perturbed timing — kept as a tested,
+default-off exploration):
+  * op level (scripts/ab_pallas_gather.py --op-only, sa1 shapes B=8
+    N=2048 S=512 on gaussian clouds): ball-query+gather old 15.1 ms vs
+    new 20.1 ms — the kernel loses already here (activity on gaussian
+    clouds is high for the r=0.4 scale); sa2 wide shapes are a wash
+    (4.06 vs 4.03 ms).
+  * full train step (scripts/ab_pallas_gather.py --step-only): off
+    115.3/118.3 w/s vs on 108.3/106.9 — see ModelConfig.pallas_gather.
+  * bitwise caveat: the kernel's GATHER is bitwise-equal to
+    ``index_points`` given the same positions (tested in interpret mode
+    and on-chip), but a pipeline that recomputes sqrdists in the
+    PERMUTED layout (as the op-level A/B and the model's use_pgather
+    branch do) can flip radius-boundary membership by one float ulp vs
+    the original-layout sqrdists, selecting a different neighbor for a
+    handful of boundary pairs. Sharing one sqrdists tensor across both
+    formulations keeps selection identical.
 """
 
 from __future__ import annotations
