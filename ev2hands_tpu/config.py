@@ -180,7 +180,15 @@ class ModelConfig:
     # forward and backward. BN still normalizes the same selected-neighbor
     # multiset; values match the reference's grouped-conv formulation up to
     # float rounding (documented deviation; exact in exact arithmetic).
-    # Pending on-TPU step-level A/B (scripts/ab_uv_gather.py).
+    # MEASURED: LOSES the full train step decisively (scripts/ab_uv_gather.py,
+    # two interleaved reps each: B=8 84.8/84.5 on vs 118.6/116.5 off w/s;
+    # B=16 83.3/82.9 vs 109.0/108.2; with bf16_train 99.0/98.7 vs ~140 off).
+    # The gather row count is unchanged, so nothing is saved there, and the
+    # u_n - v_s + b reconstruction materializes full [*, K, C_out] grouped
+    # activations for EVERY scale's conv0 in f32 residuals — the backward
+    # pays broadcast-subtract transposes that cost more than the per-pair
+    # conv0 dots ever did (dots ride the MXU; the reconstruct is VPU +
+    # bandwidth). Default OFF; kept as a tested negative result.
     uv_split_gather: bool = False
     # Run ALL of a layer's MSG scales in ONE block-sparse kernel pass
     # (block-diagonal stacked weights, union tile activity): the chain is
