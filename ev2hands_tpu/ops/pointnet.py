@@ -98,6 +98,15 @@ def query_ball_point(
     Pass ``sqrdists`` ([B, S, N]) to reuse a precomputed distance tensor —
     multi-scale grouping shares one across its radii (recomputing it per
     scale measured ~2.4 ms/scale at B=8, N=2048 on v5e).
+
+    Formulation A/B (scripts/ab_select.py, TPU v5e, B=8 N=2048 S=512, the
+    3 sa1 scales, honest key-perturbed timing): this single-``top_k``-on-i32
+    form is the WINNER at 7.55 ms over the fps+sqrdists base. f32 scores
+    8.42 ms (bitcast-int sort gains nothing, the cast costs); exact two-stage
+    chunked top_k (chunk winners then re-top_k) 38.6 ms at chunk=256 /
+    47.2 ms at chunk=512 — the reshape+double-sort lowering is ~5x worse,
+    TPU top_k really is issue-bound on the single sorted row. Do not
+    chunk the selection.
     """
     B, N, _ = xyz.shape
     if sqrdists is None:
