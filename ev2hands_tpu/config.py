@@ -33,6 +33,11 @@ class EsimConfig:
 
     positive_threshold: float = 0.4
     negative_threshold: float = 0.4
+    # Per-pixel dead time between emitted events (esim_torch's
+    # ``refractory_period_ns``; the reference constructs it with 0,
+    # ``color_event_simulator.py:197-200``). Implemented in
+    # ``ops/esim.esim_step`` as an exact stride filter over the evenly-spaced
+    # crossings; 0 is a static no-op.
     refractory_period_ns: int = 0
     simulator_fps: int = 1000
     interpolation_fps: int = 30

@@ -147,6 +147,7 @@ def make_frame_simulator(
                 esim_state, log_frame, t_ns,
                 cfg.esim.positive_threshold, cfg.esim.negative_threshold,
                 cfg.esim.max_events_per_pixel,
+                cfg.esim.refractory_period_ns,
             )
             return esim_state, events, raster.class_id
 
@@ -172,6 +173,7 @@ def make_frame_simulator(
             esim_state, log_frame, t_ns,
             cfg.esim.positive_threshold, cfg.esim.negative_threshold,
             cfg.esim.max_events_per_pixel,
+            cfg.esim.refractory_period_ns,
         )
         return esim_state, events, raster.class_id
 

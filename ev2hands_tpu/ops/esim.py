@@ -50,6 +50,7 @@ class EsimState(NamedTuple):
     last_log: jax.Array    # [H, W] previous frame's log intensity
     last_t_ns: jax.Array   # scalar int64-ish float: previous frame time
     initialized: jax.Array  # scalar bool
+    last_event_t: jax.Array  # [H, W] timestamp of last EMITTED event (refractory)
 
 
 class CompactEvents(NamedTuple):
@@ -76,6 +77,10 @@ def esim_init(height: int, width: int, background: float | None = None) -> EsimS
         last_log=ref0,
         last_t_ns=jnp.zeros((), jnp.float32),
         initialized=init,
+        # Far in the past so the first crossing is never refractory-suppressed
+        # (esim_torch inits last_event_t to 0 with timestamps starting at 0 and
+        # admits the first event unconditionally; -inf-ish gives the same).
+        last_event_t=jnp.full((height, width), -1e30, jnp.float32),
     )
 
 
@@ -86,10 +91,23 @@ def esim_step(
     pos_threshold: float = 0.4,
     neg_threshold: float = 0.4,
     max_events_per_pixel: int = 25,
+    refractory_period_ns: float = 0.0,
 ) -> Tuple[EsimState, CompactEvents]:
     """One frame of ESIM integration. Returns the new state and the compact
     events for the (previous frame -> this frame) interval; the first frame
-    of an uninitialized state produces zero events."""
+    of an uninitialized state produces zero events.
+
+    ``refractory_period_ns`` reproduces esim_torch's per-pixel dead time
+    (``EventSimulator_torch(refractory_period_ns=...)``, constructed with 0 at
+    ``color_event_simulator.py:197-200``): after an event is emitted at pixel
+    time ``t``, crossings earlier than ``t + r`` are suppressed — the
+    reference level still integrates every crossing, only the *emission* is
+    dropped. Because crossings within one frame pair are evenly spaced, the
+    surviving subset is itself evenly spaced (first index ``k0``, stride
+    ``ceil(r / t_step)``), so the compact representation is closed under
+    refractory filtering. The last emitted timestamp is carried across frames
+    in ``EsimState.last_event_t``. ``r == 0`` is a static identity (the
+    reference's production setting)."""
     delta = log_frame - state.ref
     rising = delta >= 0
     th = jnp.where(rising, pos_threshold, neg_threshold)
@@ -111,9 +129,37 @@ def esim_step(
     t_first = jnp.where(active, t_first, 0.0)
     t_step = jnp.where(active, t_step, 0.0)
 
+    n_cross = n  # ref-level integrates EVERY crossing, emitted or suppressed
+    last_event_t = state.last_event_t
+    if refractory_period_ns > 0:
+        r = jnp.float32(refractory_period_ns)
+        # Evenly spaced crossings t_k = t_first + k*t_step, k in [0, n).
+        # Greedy dead-time filter: emit k0 = first k with t_k >= last_emit + r,
+        # then every s-th crossing with s = ceil(r / t_step) (a gap of s
+        # crossings spans >= r ns). Degenerate t_step <= 0 (coincident
+        # crossings) keeps at most the first surviving one via a huge stride.
+        safe_step = jnp.maximum(t_step, 1e-6)
+        k0 = jnp.ceil((last_event_t + r - t_first) / safe_step).astype(jnp.int32)
+        k0 = jnp.maximum(k0, 0)
+        s = jnp.maximum(jnp.ceil(r / safe_step).astype(jnp.int32), 1)
+        n_emit = jnp.where(k0 < n, (n - 1 - k0) // s + 1, 0)
+        emit = n_emit > 0
+        t_first = jnp.where(emit, t_first + k0.astype(jnp.float32) * t_step, 0.0)
+        t_step = jnp.where(emit, s.astype(jnp.float32) * t_step, 0.0)
+        last_event_t = jnp.where(
+            emit,
+            t_first + (n_emit - 1).astype(jnp.float32) * t_step,
+            last_event_t,
+        )
+        n = n_emit
+    else:
+        last_event_t = jnp.where(
+            active, t_first + (n - 1).astype(jnp.float32) * t_step, last_event_t
+        )
+
     new_ref = jnp.where(
         state.initialized,
-        state.ref + sign * th * n.astype(jnp.float32),
+        state.ref + sign * th * n_cross.astype(jnp.float32),
         log_frame,
     )
     events = CompactEvents(
@@ -127,11 +173,14 @@ def esim_step(
         last_log=log_frame,
         last_t_ns=jnp.asarray(t_ns, jnp.float32),
         initialized=jnp.asarray(True),
+        last_event_t=last_event_t,
     )
     return new_state, events
 
 
-@partial(jax.jit, static_argnames=("pos_threshold", "neg_threshold", "max_events_per_pixel"))
+@partial(jax.jit, static_argnames=(
+    "pos_threshold", "neg_threshold", "max_events_per_pixel",
+    "refractory_period_ns"))
 def esim_video(
     log_frames: jax.Array,  # [F, H, W]
     t_ns: jax.Array,        # [F]
@@ -139,6 +188,7 @@ def esim_video(
     pos_threshold: float = 0.4,
     neg_threshold: float = 0.4,
     max_events_per_pixel: int = 25,
+    refractory_period_ns: float = 0.0,
 ) -> Tuple[EsimState, CompactEvents]:
     """Scan ESIM over a chunk of frames; outputs stacked compact events
     [F, H, W] fields."""
@@ -146,7 +196,8 @@ def esim_video(
     def step(s, inp):
         frame, t = inp
         return esim_step(
-            s, frame, t, pos_threshold, neg_threshold, max_events_per_pixel
+            s, frame, t, pos_threshold, neg_threshold, max_events_per_pixel,
+            refractory_period_ns,
         )
 
     return jax.lax.scan(step, state, (log_frames, t_ns.astype(jnp.float32)))

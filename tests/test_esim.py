@@ -14,10 +14,15 @@ from ev2hands_tpu.ops.esim import (
 )
 
 
-def esim_oracle(frames, times, pos_th, neg_th, cap=25):
-    """Per-pixel while-loop ESIM with linear time interpolation."""
+def esim_oracle(frames, times, pos_th, neg_th, cap=25, refractory_ns=0.0):
+    """Per-pixel while-loop ESIM with linear time interpolation.
+
+    ``refractory_ns`` reproduces esim_torch's dead time: a crossing earlier
+    than ``last_emitted + r`` on the same pixel still advances the reference
+    level but emits no event."""
     H, W = frames[0].shape
     ref = frames[0].copy()
+    last_emit = np.full((H, W), -np.inf)
     events = []
     for f in range(1, len(frames)):
         L0, L1 = frames[f - 1], frames[f]
@@ -29,13 +34,17 @@ def esim_oracle(frames, times, pos_th, neg_th, cap=25):
                     ref[i, j] += pos_th
                     denom = L1[i, j] - L0[i, j]
                     ts = t0 + (t1 - t0) * (ref[i, j] - L0[i, j]) / denom
-                    events.append((j, i, ts, 1))
+                    if ts >= last_emit[i, j] + refractory_ns:
+                        events.append((j, i, ts, 1))
+                        last_emit[i, j] = ts
                     n += 1
                 while L1[i, j] - ref[i, j] <= -neg_th and n < cap:
                     ref[i, j] -= neg_th
                     denom = L1[i, j] - L0[i, j]
                     ts = t0 + (t1 - t0) * (ref[i, j] - L0[i, j]) / denom
-                    events.append((j, i, ts, -1))
+                    if ts >= last_emit[i, j] + refractory_ns:
+                        events.append((j, i, ts, -1))
+                        last_emit[i, j] = ts
                     n += 1
     return np.array(events, np.float64), ref
 
@@ -74,6 +83,60 @@ def test_esim_matches_oracle(rng):
     got_sorted = np.array(sorted(map(tuple, got), key=key))
     ref_sorted = np.array(sorted(map(tuple, ref_events), key=key))
     np.testing.assert_allclose(got_sorted[:, 2], ref_sorted[:, 2], rtol=1e-3, atol=40.0)
+
+
+def test_esim_refractory_matches_oracle(rng):
+    """Nonzero dead time (esim_torch ``refractory_period_ns`` semantics,
+    ``color_event_simulator.py:197-200``): crossings inside the dead time are
+    suppressed, the reference level still integrates every crossing, and the
+    dead time carries across frame pairs."""
+    H, W, F = 6, 8, 6
+    R_NS = 0.35e6  # 0.35 ms vs 1 ms frames: suppresses within AND across frames
+    frames = rng.randn(F, H, W).astype(np.float32) * 1.5
+    times = np.arange(F, dtype=np.float64) * 1e6
+
+    state = esim_init(H, W)
+    state, ev = esim_video(jnp.asarray(frames), jnp.asarray(times), state,
+                           pos_threshold=0.4, neg_threshold=0.4,
+                           refractory_period_ns=R_NS)
+
+    got = []
+    for f in range(F):
+        got.append(expand_compact_events(
+            type(ev)(*[jnp.asarray(np.asarray(x)[f]) for x in ev])
+        ))
+    got = np.concatenate(got, 0)
+
+    ref_events, ref_state = esim_oracle(
+        frames.astype(np.float64), times, 0.4, 0.4, refractory_ns=R_NS)
+    ref_nofilter, _ = esim_oracle(frames.astype(np.float64), times, 0.4, 0.4)
+    assert len(ref_events) < len(ref_nofilter), "test must actually suppress"
+    assert len(got) == len(ref_events)
+
+    # ref level integrates every crossing — identical to the r=0 run
+    np.testing.assert_allclose(np.asarray(state.ref), ref_state, atol=1e-4)
+
+    key = lambda e: (e[0], e[1], e[2])
+    got_sorted = np.array(sorted(map(tuple, got), key=key))
+    ref_sorted = np.array(sorted(map(tuple, ref_events), key=key))
+    np.testing.assert_array_equal(got_sorted[:, :2], ref_sorted[:, :2])
+    np.testing.assert_array_equal(got_sorted[:, 3], ref_sorted[:, 3])
+    np.testing.assert_allclose(got_sorted[:, 2], ref_sorted[:, 2],
+                               rtol=1e-3, atol=40.0)
+
+
+def test_refractory_zero_is_identity(rng):
+    """r=0 must be bit-identical to the pre-refractory event stream."""
+    H, W, F = 5, 7, 4
+    frames = rng.randn(F, H, W).astype(np.float32)
+    times = np.arange(F, dtype=np.float64) * 1e6
+    s0, ev0 = esim_video(jnp.asarray(frames), jnp.asarray(times),
+                         esim_init(H, W))
+    s1, ev1 = esim_video(jnp.asarray(frames), jnp.asarray(times),
+                         esim_init(H, W), refractory_period_ns=0.0)
+    for a, b in zip(ev0, ev1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(s0.ref), np.asarray(s1.ref))
 
 
 def test_no_events_on_first_frame():
