@@ -76,6 +76,111 @@ class _StubMano:
         return o
 
 
+def _run_both(rng, grouping, N, B=2, f64=False):
+    """Shared driver: same synthetic weights into both frameworks, one
+    forward each, returns (our outputs, reference outputs)."""
+    import torch
+
+    from ev2hands_tpu.checkpoint import torch_to_flax
+    from ev2hands_tpu.config import ModelConfig
+    from ev2hands_tpu.model import TEHNet
+    from test_checkpoint import build_reference_state_dict
+
+    tehnet_mod = _load_reference_tehnet()
+    sd = build_reference_state_dict(rng)
+    ref_net = tehnet_mod.TEHNet(n_pose_params=6)
+    ref_net.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()
+         if not k.endswith("num_batches_tracked")},
+        strict=False,
+    )
+    ref_net.eval()
+    if f64:
+        ref_net.double()
+
+    x = rng.randn(B, 5, N).astype(np.float64 if f64 else np.float32)
+
+    orig_randint = torch.randint
+    orig_default = torch.get_default_dtype()
+
+    def zero_randint(*args, **kwargs):
+        return torch.zeros_like(orig_randint(*args, **kwargs))
+
+    torch.randint = zero_randint
+    if f64:
+        # internal zeros/ones buffers (e.g. the FPS distance accumulator,
+        # pointnet2_utils.py:74) must come out f64 too
+        torch.set_default_dtype(torch.float64)
+    try:
+        with torch.no_grad():
+            ref_out = ref_net(
+                torch.from_numpy(x.copy()),
+                {"left": _StubMano(), "right": _StubMano()},
+            )
+    finally:
+        torch.randint = orig_randint
+        torch.set_default_dtype(orig_default)
+
+    cfg = ModelConfig(n_points=N, fps_deterministic=True, grouping=grouping)
+    net = TEHNet(cfg=cfg)
+    converted = torch_to_flax(sd)
+    variables = {"params": converted["params"],
+                 "batch_stats": converted["batch_stats"]}
+    if f64:
+        variables = jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float64), variables)
+    out = net.apply(variables, jnp.asarray(x.transpose(0, 2, 1)), train=False)
+    return out, ref_out
+
+
+def test_full_model_parity_f64(rng):
+    """The f32 test below tolerates 2% relative on the regressor heads,
+    argued to be fp32 accumulation noise. This run repeats the comparison in
+    float64 end-to-end (both frameworks) at a far tighter tolerance: if the
+    2% were hiding a semantic mismatch, it would survive the precision bump;
+    rounding noise collapses. Measured max relative deltas in f64 (recorded
+    2026-08-19): class_logits ~6e-14 abs, every regressor head < 6e-15
+    relative — i.e. the f32 test's 2% tolerance is pure rounding."""
+    with jax.enable_x64(True):
+        out, ref_out = _run_both(rng, grouping="gather", N=256, f64=True)
+
+        np.testing.assert_allclose(
+            np.asarray(out["class_logits"]),
+            ref_out["class_logits"].numpy().transpose(0, 2, 1),
+            rtol=1e-9, atol=1e-10,
+        )
+        for side in ("left", "right"):
+            for key in ("global_orient", "hand_pose", "betas", "transl"):
+                a = np.asarray(out[side][key])
+                b = ref_out[side][key].numpy()
+                scale = np.abs(b).max() + 1e-12
+                rel = np.abs(a - b).max() / scale
+                assert rel < 1e-9, (
+                    f"{side}/{key} f64 mismatch beyond rounding: {rel:.3e}")
+
+
+def test_full_model_parity_production_scale(rng):
+    """Same comparison once at the production N=2048 (gather mode, f32):
+    the reduced-N tests can't rule out a scale-dependent semantic difference
+    (ball-query backfill rates, FPS coverage, BN stat magnitudes all change
+    with N)."""
+    out, ref_out = _run_both(rng, grouping="gather", N=2048)
+
+    np.testing.assert_allclose(
+        np.asarray(out["class_logits"]),
+        ref_out["class_logits"].numpy().transpose(0, 2, 1),
+        atol=5e-3,
+    )
+    for side in ("left", "right"):
+        for key in ("global_orient", "hand_pose", "betas", "transl"):
+            a = np.asarray(out[side][key])
+            b = ref_out[side][key].numpy()
+            scale = np.abs(b).max() + 1e-6
+            rel = np.abs(a - b).max() / scale
+            assert rel < 0.02, (
+                f"{side}/{key} diverges at N=2048: {rel:.4f} of {scale:.2f}")
+
+
 @pytest.mark.parametrize("grouping", ["gather", "dense"])
 def test_full_model_parity_vs_reference(rng, grouping):
     import torch
