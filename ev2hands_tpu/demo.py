@@ -187,6 +187,7 @@ def run_demo(
     synthetic_mano: bool = False,
     fps: int = 25,
     mesh_render: str = "splat",
+    report_path: str = "",
 ):
     cfg = DEFAULT_CONFIG
     hands_obj = build_hands(cfg, synthetic=synthetic_mano)
@@ -250,8 +251,12 @@ def run_demo(
             n_frames += 1
         batch_walls.append((time.perf_counter() - t_batch, k))
     writer.release()
+    report = {"batch_size": batch_size, "mesh_render": mesh_render,
+              "frames": n_frames}
     if timings[1:]:
-        print(f"inference: {1.0 / np.mean(timings[1:]):.1f} windows/s "
+        report["inference_windows_per_s"] = round(
+            1.0 / float(np.mean(timings[1:])), 1)
+        print(f"inference: {report['inference_windows_per_s']} windows/s "
               f"({np.mean(timings[1:]) * 1e3:.2f} ms/window amortized)")
     if batch_walls[1:]:
         # end-to-end steady state = host windowing + inference + rendering +
@@ -259,9 +264,18 @@ def run_demo(
         # compile and is excluded
         sec = sum(t for t, _ in batch_walls[1:])
         win = sum(kk for _, kk in batch_walls[1:])
-        print(f"end-to-end: {win / max(sec, 1e-9):.1f} windows/s "
+        report["steady_state_windows_per_s"] = round(win / max(sec, 1e-9), 1)
+        report["steady_state_windows"] = win
+        report["steady_state_seconds"] = round(sec, 2)
+        print(f"end-to-end: {report['steady_state_windows_per_s']} windows/s "
               f"({win} windows in {sec:.2f}s, steady-state streaming)")
     print(f"wrote {n_frames} frames to {out_path}")
+    if report_path:
+        import json
+
+        with open(report_path, "w") as f:
+            json.dump(report, f, indent=1)
+            f.write("\n")
     return out_path, n_frames
 
 
@@ -278,10 +292,12 @@ def main():
                     help="mesh pane: vertex point-splat (device-projected), "
                          "on-device z-buffered flat-shaded rasterization, or "
                          "pyrender offscreen GL if installed")
+    ap.add_argument("--report", default="",
+                    help="write steady-state throughput JSON here")
     args = ap.parse_args()
     run_demo(args.input, args.checkpoint_path, args.out, args.batch_size,
              args.max_windows, args.synthetic_mano,
-             mesh_render=args.mesh_render)
+             mesh_render=args.mesh_render, report_path=args.report)
 
 
 if __name__ == "__main__":

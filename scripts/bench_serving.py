@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--n_points", type=int, default=0,
                     help="override cfg.model.n_points (CPU smoke)")
     ap.add_argument("--host_platform", default="")
+    ap.add_argument("--out", default="",
+                    help="write the measurements to this JSON file")
     args = ap.parse_args()
 
     import jax
@@ -96,14 +98,21 @@ def main():
         sec = device_throughput(lambda k: run(k), iters=args.iters)
         return args.batch / sec
 
+    report = {"batch": B, "max_events": N, "platform": platform,
+              "artifact_mb": round(len(data) / 1e6, 1)}
     for name, fn in (
         ("live_pipeline", lambda e, v, kd: live(
             e, v, jax.random.wrap_key_data(kd))),
         ("served_artifact", served),
     ):
         ws = timed(fn)
+        report[name + "_windows_per_s"] = round(ws, 1)
         print(json.dumps({name + "_windows_per_s": round(ws, 1)}),
               flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":

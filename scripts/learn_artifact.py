@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--val_frames", type=int, default=45)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default="/tmp/learn_artifact")
+    ap.add_argument("--bf16", action="store_true",
+                    help="train with ModelConfig.bf16_train (the +18%% "
+                         "mixed-precision path); evidences accuracy "
+                         "neutrality of the bf16 conv chains")
     args = ap.parse_args()
 
     import jax
@@ -79,10 +83,15 @@ def main():
 
     wait_for_tpu()
     cfg = DEFAULT_CONFIG
+    if args.bf16:
+        import dataclasses
+
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, bf16_train=True))
     os.makedirs(args.out, exist_ok=True)
     report = {"config": {"iters": args.iters, "batch": args.batch,
                          "train_frames": args.train_frames,
-                         "val_frames": args.val_frames}}
+                         "val_frames": args.val_frames,
+                         "bf16_train": bool(args.bf16)}}
 
     # ---- datagen: train + held-out val splits -----------------------------
     t0 = time.time()
@@ -126,13 +135,22 @@ def main():
         batch = next(iter(val_reader.batches(cfg.train.eval_batch_size,
                                              shuffle=False, max_batches=1)))
         pred, gt = eval_step(state, batch, jax.random.PRNGKey(0))
-        mpjpe_mm = float(np.mean(np.linalg.norm(
-            np.asarray(pred) - np.asarray(gt), axis=-1)))
+        pred, gt = np.asarray(pred), np.asarray(gt)  # [B, 2, 21, 3] mm
+        mpjpe_mm = float(np.mean(np.linalg.norm(pred - gt, axis=-1)))
+        # split the absolute error into its translation and pose parts:
+        # root_err isolates the regressed-transl drift; the root-aligned
+        # MPJPE tracks the same root-relative pose the AUC score does
+        root_err_mm = float(np.mean(np.linalg.norm(
+            pred[:, :, :1] - gt[:, :, :1], axis=-1)))
+        mpjpe_rel_mm = float(np.mean(np.linalg.norm(
+            (pred - pred[:, :, :1]) - (gt - gt[:, :, :1]), axis=-1)))
         entry = {
             "tag": tag,
             "relative_auc": round(float(score), 4),
             "auc": {k: round(float(v), 4) for k, v in metrics["auc"].items()},
             "mpjpe_mm": round(mpjpe_mm, 2),
+            "root_err_mm": round(root_err_mm, 2),
+            "mpjpe_root_aligned_mm": round(mpjpe_rel_mm, 2),
             "seconds": round(time.time() - t, 1),
         }
         print(json.dumps(entry), flush=True)
@@ -140,6 +158,7 @@ def main():
 
     evals = [run_eval(state, "init")]
     losses_hist = []
+    terms_hist = []  # per-term loss dicts — which term drives/regresses
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     it = 0
@@ -153,6 +172,8 @@ def main():
         it += 1
         if it % 50 == 0:
             losses_hist.append(round(float(losses["loss"]), 2))
+            terms_hist.append({k: round(float(v), 3)
+                               for k, v in sorted(losses.items())})
         if it % args.eval_every == 0:
             evals.append(run_eval(state, f"it{it}"))
             print(f"it {it}: loss {losses_hist[-1]}", flush=True)
@@ -160,12 +181,14 @@ def main():
     report["windows_per_sec_incl_host"] = round(
         args.iters * args.batch / report["train_seconds"], 1)
     report["loss_every_50"] = losses_hist
+    report["loss_terms_every_50"] = terms_hist
     report["evals"] = evals
 
     first, last = evals[0], evals[-1]
     report["learned"] = bool(last["relative_auc"] > first["relative_auc"])
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
+        f.write("\n")
     print(json.dumps(report))
 
 
