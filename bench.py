@@ -230,9 +230,10 @@ def measure_train_step(batch_size=8, iters=10, n_points=2048,
         make_train_step,
     )
 
+    model_overrides.setdefault("fps_deterministic", True)
     cfg = DEFAULT_CONFIG.replace(
         model=DEFAULT_CONFIG.model.__class__(
-            n_points=n_points, fps_deterministic=True, **model_overrides
+            n_points=n_points, **model_overrides
         ),
         train=DEFAULT_CONFIG.train.__class__(batch_size=batch_size),
     )

@@ -77,6 +77,19 @@ class ModelConfig:
     # FPS start selection: the reference draws a random start index
     # (``pointnet2_utils.py:75``); deterministic start makes runs reproducible.
     fps_deterministic: bool = False
+    # One FPS draw for BOTH regressor heads during random-FPS training.
+    # The reference keeps independent per-head draws (``TEHNet.py:194-195``);
+    # with a shared draw the heads' sa1 sampling + ball-query + sqrdist work
+    # becomes one XLA-CSE'd computation (the eval path already shares it —
+    # see TEHNet's ``reg_fps_idx``). A documented training-semantics
+    # deviation like ``bf16_train``: both are unbiased FPS samplings, but
+    # the heads lose their independent centroid draws. Measured A/B
+    # (scripts/ab_shared_fps.py, full train step, 2 interleaved reps):
+    # B=8 independent 114.8/113.9 w/s vs shared 114.4/115.6 (wash);
+    # B=16 independent 105.8/106.7 vs shared 107.9/108.0 — recovers the
+    # deterministic-FPS rate (107.9/108.1) exactly. The head machinery at
+    # S=128 is ~1-2% of the step; default off for reference parity.
+    shared_head_fps: bool = False
     # Neighborhood grouping backend for the set-abstraction blocks:
     # 'dense' (gather/sort-free masked pairs; eval numerics identical to
     # 'gather') or 'gather' (the reference's top_k + gather formulation

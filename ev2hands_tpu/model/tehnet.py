@@ -256,19 +256,23 @@ class TEHNet(nn.Module):
             # the sampling once; the reference's random-FPS training keeps
             # independent per-head draws (TEHNet.py:194-195 semantics).
             reg_fps_idx = None
-            if keys[2] is None and keys[3] is None:
+            # cfg.shared_head_fps extends the eval-path sharing to random-FPS
+            # training: ONE draw (keys[2]) feeds both heads, so their sa1
+            # sampling/ball-query/sqrdist machinery CSEs into one computation.
+            if (keys[2] is None and keys[3] is None) or cfg.shared_head_fps:
                 if emesh is not None and not self.is_initializing():
                     from ev2hands_tpu.parallel.event_parallel import (
                         event_sharded_fps,
                     )
 
                     reg_fps_idx = event_sharded_fps(
-                        emesh, l0_xyz, REGRESSOR_NPOINT
+                        emesh, l0_xyz, REGRESSOR_NPOINT, key=keys[2]
                     )
                 else:
                     from ev2hands_tpu.ops.pallas_ops import fps_auto
 
-                    reg_fps_idx = fps_auto(l0_xyz, REGRESSOR_NPOINT, key=None)
+                    reg_fps_idx = fps_auto(
+                        l0_xyz, REGRESSOR_NPOINT, key=keys[2])
             left = ManoRegressor(
                 dropout=cfg.dropout_regressor, grouping=g_reg,
                 dense_train=cfg.dense_train,
