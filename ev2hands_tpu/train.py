@@ -348,6 +348,10 @@ def main():
                     help="mixed-precision training: conv chains in bfloat16,"
                          " params/BN stats/losses stay f32"
                          " (ModelConfig.bf16_train)")
+    ap.add_argument("--shared_head_fps", action="store_true",
+                    help="one random FPS draw for both MANO regressor heads"
+                         " (ModelConfig.shared_head_fps; the reference draws"
+                         " independently per head)")
     # multi-host bring-up (DCN): pass all three to join a jax.distributed
     # cluster (e.g. from scripts/slurm_train.sh); single-process otherwise
     ap.add_argument("--coordinator", default=None,
@@ -369,9 +373,14 @@ def main():
            "batch_size": args.batch_size,
            "checkpoint_path": args.checkpoint_path,
            "data_parallel": args.data_parallel}))
+    model_over = {}
     if args.bf16:
+        model_over["bf16_train"] = True
+    if args.shared_head_fps:
+        model_over["shared_head_fps"] = True
+    if model_over:
         cfg = cfg.replace(model=cfg.model.__class__(
-            **{**cfg.model.__dict__, "bf16_train": True}))
+            **{**cfg.model.__dict__, **model_over}))
     train(cfg, synthetic_mano=args.synthetic_mano, max_iter=args.max_iter,
           resume_dir=args.resume_dir)
 
