@@ -166,6 +166,23 @@ class ModelConfig:
     # selection cost more than the one-hot dots save. Default OFF; kept as
     # a tested exploration.
     pallas_gather: bool = False
+    # Sort-free ball-query selection on the gather (training) path: the
+    # j-th selected neighbor index is recovered from the inclusive
+    # in-radius rank (cumsum of the radius mask) as a count, replacing the
+    # O(N log^2 N) bitonic top_k with an O(N*K) VPU compare-reduce — the
+    # same cumsum-rank machinery the dense eval path's selection mask
+    # already uses. Output indices are bitwise-identical to the top_k
+    # formulation (asserted on-device at production shapes). Op-level A/B
+    # (scripts/ab_rank_select.py, TPU v5e, B=8 N=2048 S=512, 3 sa1 scales):
+    # rank 6.84 ms vs top_k 8.73 ms over the fps+sqrdists base (-22%);
+    # stacking the scales' reduces measured WORSE (12.4 ms, Kmax padding).
+    # Step-level verdict (scripts/ab_rank_step.py, full jitted train step,
+    # interleaved reps): B=16 WINS 112.8/114.1 vs 108.0/109.4 w/s (+4.4%);
+    # B=8 a wash (114.8/115.1 vs 115.4/114.8), bf16 B=8 a wash within the
+    # historical spread. Identical outputs + wins-or-neutral everywhere ->
+    # default ON (the first op-level win here to survive the step;
+    # pallas_gather and the custom index_points VJP both did not).
+    rank_ball_query: bool = True
     # Point-tile size of the one-hot gather kernel (smaller tiles -> tighter
     # activity skip; each tile costs one [K, nb] @ [nb, 3C] MXU pass).
     pallas_gather_nb: int = 128

@@ -163,6 +163,9 @@ class SetAbstractionMsg(nn.Module):
     # bfloat16 compute for the training-path conv chain (params/BN stats
     # stay f32; eval traces untouched) — see ModelConfig.bf16_train
     bf16: bool = False
+    # sort-free cumsum-rank ball-query selection on the gather path,
+    # bitwise-identical indices — see ModelConfig.rank_ball_query
+    rank_ball_query: bool = False
 
     @nn.compact
     def __call__(
@@ -261,7 +264,8 @@ class SetAbstractionMsg(nn.Module):
             # multiset, so stat semantics are unchanged).
             idxs = [
                 query_ball_point(r, self.nsample_list[i], xyz, new_xyz,
-                                 sqrdists=sqrdists)
+                                 sqrdists=sqrdists,
+                                 rank=self.rank_ball_query)
                 for i, r in enumerate(self.radius_list)
             ]
             cat_idx = jnp.concatenate(idxs, axis=-1)   # [B, S, sum(K)]
@@ -320,7 +324,8 @@ class SetAbstractionMsg(nn.Module):
             # bandwidth. Values are identical (same indices, same source).
             idxs = [
                 query_ball_point(r, self.nsample_list[i], xyz, new_xyz,
-                                 sqrdists=sqrdists)
+                                 sqrdists=sqrdists,
+                                 rank=self.rank_ball_query)
                 for i, r in enumerate(self.radius_list)
             ]
             cat_idx = jnp.concatenate(idxs, axis=-1)   # [B, S, sum(K)]

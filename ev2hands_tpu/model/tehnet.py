@@ -77,6 +77,7 @@ class ManoRegressor(nn.Module):
     pallas_gather_bwd: bool = False
     pallas_gather_wide: bool = True
     bf16: bool = False  # see ModelConfig.bf16_train
+    rank_ball_query: bool = False  # see ModelConfig.rank_ball_query
 
     @nn.compact
     def __call__(
@@ -104,6 +105,7 @@ class ManoRegressor(nn.Module):
             pallas_gather_nb=self.pallas_gather_nb,
             pallas_gather_bwd=self.pallas_gather_bwd,
             pallas_gather_wide=self.pallas_gather_wide,
+            rank_ball_query=self.rank_ball_query,
             bf16=self.bf16,
             name="sa1",
         )(xyz, features, train, fps_key, fps_idx)
@@ -177,6 +179,7 @@ class TEHNet(nn.Module):
             pallas_gather_nb=cfg.pallas_gather_nb,
             pallas_gather_bwd=cfg.pallas_gather_bwd,
             pallas_gather_wide=cfg.pallas_gather_wide,
+            rank_ball_query=cfg.rank_ball_query,
             bf16=cfg.bf16_train,
             name="sa1",
         )(l0_xyz, l0_points, train, keys[0])
@@ -197,6 +200,7 @@ class TEHNet(nn.Module):
             pallas_gather_nb=cfg.pallas_gather_nb,
             pallas_gather_bwd=cfg.pallas_gather_bwd,
             pallas_gather_wide=cfg.pallas_gather_wide,
+            rank_ball_query=cfg.rank_ball_query,
             bf16=cfg.bf16_train,
             name="sa2",
         )(l1_xyz, l1_points, train, keys[1])
@@ -285,6 +289,7 @@ class TEHNet(nn.Module):
                 pallas_gather_nb=cfg.pallas_gather_nb,
                 pallas_gather_bwd=cfg.pallas_gather_bwd,
                 pallas_gather_wide=cfg.pallas_gather_wide,
+                rank_ball_query=cfg.rank_ball_query,
                 bf16=cfg.bf16_train,
                 name="left_mano_regressor",
             )(l0_xyz, left_features, train, keys[2], reg_fps_idx)
@@ -300,6 +305,7 @@ class TEHNet(nn.Module):
                 pallas_gather_nb=cfg.pallas_gather_nb,
                 pallas_gather_bwd=cfg.pallas_gather_bwd,
                 pallas_gather_wide=cfg.pallas_gather_wide,
+                rank_ball_query=cfg.rank_ball_query,
                 bf16=cfg.bf16_train,
                 name="right_mano_regressor",
             )(l0_xyz, right_features, train, keys[3], reg_fps_idx)

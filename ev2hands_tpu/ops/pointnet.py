@@ -86,6 +86,7 @@ def farthest_point_sample(
 def query_ball_point(
     radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
     sqrdists: Optional[jax.Array] = None,
+    rank: bool = False,
 ) -> jax.Array:
     """Radius neighborhood query, -> [B, S, nsample] int32 indices.
 
@@ -93,24 +94,54 @@ def query_ball_point(
     the ``nsample`` *lowest-index* points within ``radius``; slots beyond the
     in-radius count are backfilled with the first in-radius index. If a query
     has no in-radius point at all (cannot happen when queries are sampled from
-    ``xyz``), indices clamp to 0 instead of the reference's out-of-bounds N.
+    ``xyz``), indices clamp to N-1 instead of the reference's out-of-bounds N.
 
     Pass ``sqrdists`` ([B, S, N]) to reuse a precomputed distance tensor —
     multi-scale grouping shares one across its radii (recomputing it per
     scale measured ~2.4 ms/scale at B=8, N=2048 on v5e).
 
-    Formulation A/B (scripts/ab_select.py, TPU v5e, B=8 N=2048 S=512, the
-    3 sa1 scales, honest key-perturbed timing): this single-``top_k``-on-i32
-    form is the WINNER at 7.55 ms over the fps+sqrdists base. f32 scores
-    8.42 ms (bitcast-int sort gains nothing, the cast costs); exact two-stage
-    chunked top_k (chunk winners then re-top_k) 38.6 ms at chunk=256 /
-    47.2 ms at chunk=512 — the reshape+double-sort lowering is ~5x worse,
-    TPU top_k really is issue-bound on the single sorted row. Do not
-    chunk the selection.
+    Formulation A/Bs (TPU v5e, B=8 N=2048 S=512, the 3 sa1 scales, honest
+    key-perturbed timing over the fps+sqrdists base):
+
+    * ``rank=False`` — single ``top_k`` on i32 scores: 7.55-8.73 ms.
+      f32 scores 8.42 ms (bitcast-int sort gains nothing, the cast costs);
+      exact two-stage chunked top_k (chunk winners then re-top_k) 38.6 ms
+      at chunk=256 / 47.2 ms at chunk=512 — the reshape+double-sort
+      lowering is ~5x worse; never chunk TPU top_k (scripts/ab_select.py).
+    * ``rank=True`` — NO sort at all: with the inclusive in-radius rank
+      r[n] = cumsum(mask)[n], the j-th selected index is the count
+      #{n : r[n] <= j} (stream compaction as a counting problem), an
+      O(N*K) VPU compare-reduce instead of the O(N log^2 N) bitonic
+      top_k. 6.84 ms vs 8.73 ms measured head-to-head — 22% faster, and
+      bitwise-identical output (asserted on-device at production shapes,
+      scripts/ab_rank_select.py). Fusing the three scales' reduces into
+      one stacked pass measured WORSE (12.4 ms — the [3, B, S, N, Kmax]
+      broadcast pads every scale to Kmax=128). This is the same
+      cumsum-rank machinery the dense eval path's selection mask already
+      uses (ops/pallas_grouping.dense_selection_mask).
+
+    ``rank`` stays a per-call switch (threaded from
+    ``ModelConfig.rank_ball_query``) rather than an unconditional
+    replacement so the step-level decision is recorded where every other
+    formulation A/B lives.
     """
     B, N, _ = xyz.shape
     if sqrdists is None:
         sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
+    if rank:
+        mask = sqrdists <= radius**2
+        # inclusive in-radius rank; non-decreasing along the point axis
+        ranks = jnp.cumsum(mask, axis=-1, dtype=jnp.int32)  # [B, S, N]
+        cnt = ranks[..., -1:]                               # [B, S, 1]
+        j = jnp.arange(nsample, dtype=jnp.int32)
+        # positions strictly before the (j+1)-th selected point are exactly
+        # those whose inclusive rank is still <= j
+        idx = jnp.sum((ranks[..., None] <= j).astype(jnp.int32), axis=2)
+        first = idx[..., :1]
+        idx = jnp.where(j < cnt, idx, first)  # backfill w/ first in-radius
+        # all-empty neighborhoods leave idx == N everywhere (rank stays 0),
+        # so the clamp lands on N-1 exactly like the top_k path
+        return jnp.minimum(idx, N - 1)
     arange = jnp.arange(N, dtype=jnp.int32)
     scores = jnp.where(sqrdists <= radius**2, arange, N)  # [B, S, N]
     # nsample smallest scores in ascending order == reference's sort+slice.

@@ -109,6 +109,35 @@ def test_ball_query_no_neighbor_clamps(rng):
     assert idx.min() >= 0 and idx.max() < 8
 
 
+def test_ball_query_rank_formulation_exact(rng):
+    """rank=True (sort-free cumsum-rank compaction) is bitwise-identical to
+    the top_k formulation across radii, incl. backfill and the K>count
+    cases (also asserted on-device at production shapes —
+    scripts/ab_rank_select.py)."""
+    B, N, S = 2, 48, 12
+    xyz = rng.rand(B, N, 3).astype(np.float32)
+    fidx = np.asarray(farthest_point_sample(jnp.asarray(xyz), S))
+    new_xyz = np.stack([xyz[b][fidx[b]] for b in range(B)])
+    for radius, K in [(0.1, 4), (0.3, 8), (0.6, 16), (2.0, 8)]:
+        a = np.asarray(query_ball_point(
+            radius, K, jnp.asarray(xyz), jnp.asarray(new_xyz)))
+        b = np.asarray(query_ball_point(
+            radius, K, jnp.asarray(xyz), jnp.asarray(new_xyz), rank=True))
+        np.testing.assert_array_equal(a, b)
+    # empty-neighborhood clamp parity
+    far = jnp.ones((1, 1, 3)) * 100.0
+    a = np.asarray(query_ball_point(0.1, 4, jnp.asarray(xyz[:1]), far))
+    b = np.asarray(query_ball_point(0.1, 4, jnp.asarray(xyz[:1]), far,
+                                    rank=True))
+    np.testing.assert_array_equal(a, b)
+    # nsample > N (tiny debug clouds) backfills identically
+    small = jnp.asarray(rng.rand(1, 6, 3), jnp.float32)
+    q = small[:, :2]
+    a = np.asarray(query_ball_point(0.5, 9, small, q))
+    b = np.asarray(query_ball_point(0.5, 9, small, q, rank=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_sample_and_group_shapes(rng):
     xyz = jnp.asarray(rng.randn(2, 32, 3), jnp.float32)
     feats = jnp.asarray(rng.randn(2, 32, 5), jnp.float32)
