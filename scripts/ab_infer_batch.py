@@ -1,9 +1,11 @@
 """A/B: inference-pipeline throughput vs batch size.
 
-The published headline (bench.py) uses B=32, the production eval batch. For
-SERVING, batch is a free knob — if the pipeline amortizes fixed per-batch
-costs (FPS scans, kernel launches, ERPC sort) at larger B, the serving
-configuration should use it. Reuses bench.measure_ours: the full jitted
+For SERVING, batch is a free knob — if the pipeline amortizes fixed
+per-batch costs (FPS scans, kernel launches, ERPC sort) at larger B, the
+serving configuration should use it. Verdict (artifacts/ab_infer_batch.json):
+B=16 is the sweet spot, and round 4 moved bench.py's headline to it (B=32,
+the through-round-3 headline batch, stays published as
+eval_b32_windows_per_sec). Reuses bench.measure_ours: the full jitted
 pipeline (key -> ERPC -> TEHNet -> MANO) with hoist-proof key-perturbed
 on-device timing.
 
