@@ -409,6 +409,11 @@ def main():
         "metric": "event_windows_per_sec_per_chip_inference",
         "value": round(ours, 2),
         "unit": "windows/s",
+        # measurement configuration of the headline value, machine-readable
+        # (the headline moved B=32 -> B=16 in round 4; trackers keying on
+        # the metric name alone should read this field)
+        "batch": 16,
+        "n_points": 2048,
         "vs_baseline": round(vs, 3) if vs is not None else None,
         # the through-round-3 headline configuration (production eval batch),
         # kept for bench-history comparability

@@ -261,6 +261,23 @@ class ModelConfig:
     # decrease). Default stays False for reference-f32 numerics parity;
     # bench.py publishes both train lines.
     bf16_train: bool = False
+    # Mixed-precision INFERENCE (the bf16_train analogue for the eval path;
+    # default off = reference-f32 eval numerics). The dense-formulation
+    # Dense/BatchNorm chains — the non-Pallas set-abstraction scales (sa2,
+    # both regressor sa1s), sa3, feature propagation, the classifier trunk
+    # and the query convs — compute AND normalize in bfloat16 (flax
+    # ``dtype=bfloat16`` on Dense and eval-mode BatchNorm), halving the HBM
+    # bytes of the [B, chunk, N, C] pair intermediates between MXU dots.
+    # Selection stays exact-f32 (FPS, sqrdists, ball-query masks, 3-NN
+    # distances), so neighbor/centroid INDICES are identical to f32 eval;
+    # the sa1 sparse Pallas kernel already runs bf16 MXU dots on folded f32
+    # weights and is unchanged. Output heads (classifier_conv_1, regressor
+    # fc stack), MANO and metrics stay f32. MEASURED (TPU v5e, full
+    # inference pipeline, interleaved honest A/B, scripts/ab_bf16_eval.py):
+    # see artifacts/ab_bf16_eval.json for the step-level verdict; accuracy
+    # gate at full sandbox scale in artifacts/learn_curve.json (f32-trained
+    # params evaluated through both eval paths).
+    bf16_eval: bool = False
     # Run the two MANO regressor heads as one h-stacked pass in the dense
     # eval path (shared FPS/selection, folded BN, batched matmuls) — exact
     # eval numerics (tested). MEASURED SLOWER on TPU v5e than the two plain

@@ -38,9 +38,15 @@ from ev2hands_tpu.ops.pointnet import (
 )
 
 
-def _bn(train: bool, name: str) -> nn.BatchNorm:
+def _bn(train: bool, name: str, dtype=None) -> nn.BatchNorm:
+    # ``dtype`` is only ever non-None on EVAL traces under bf16_eval: the
+    # running-stat normalization computes in bfloat16 so the activation
+    # chain stays bf16 between MXU dots. Training BN always keeps f32 stat
+    # math (bf16_train leaves BN dtype at None; flax promotion with f32
+    # params keeps the normalization f32).
     return nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        dtype=dtype, name=name
     )
 
 
@@ -163,6 +169,9 @@ class SetAbstractionMsg(nn.Module):
     # bfloat16 compute for the training-path conv chain (params/BN stats
     # stay f32; eval traces untouched) — see ModelConfig.bf16_train
     bf16: bool = False
+    # bfloat16 compute+normalization for the EVAL conv chains (selection
+    # math stays f32, indices identical) — see ModelConfig.bf16_eval
+    bf16_eval: bool = False
     # sort-free cumsum-rank ball-query selection on the gather path,
     # bitwise-identical indices — see ModelConfig.rank_ball_query
     rank_ball_query: bool = False
@@ -235,13 +244,20 @@ class SetAbstractionMsg(nn.Module):
                 xyz_p = jnp.take_along_axis(xyz, perm[..., None], axis=1)
                 points_p = jnp.take_along_axis(points, perm[..., None], axis=1)
 
-        # bf16 compute only on the training gather branch: the dense/pallas
-        # eval paths fold BN into f32 weights, and _dense_train_scale's
+        # bf16 compute on the training gather branch (bf16_train) and on the
+        # eval conv chains (bf16_eval). The Pallas scales fold BN into f32
+        # weights and run bf16 MXU dots regardless; _dense_train_scale's
         # manual weighted-stat sweeps stay f32 (dtype applies per-trace;
-        # train is a static bool, so eval traces never see the cast)
+        # train is a static bool, so each trace sees exactly one mode).
+        bf16_ev = self.bf16_eval and not train and not self.is_initializing()
         dt = (
-            jnp.bfloat16 if (self.bf16 and train and gather_mode) else None
+            jnp.bfloat16
+            if ((self.bf16 and train and gather_mode) or bf16_ev)
+            else None
         )
+        # eval BatchNorm joins the bf16 chain only under bf16_eval; training
+        # BN always keeps f32 stat math
+        bn_dt = jnp.bfloat16 if bf16_ev else None
         use_uv = (
             gather_mode and not use_pgather and self.uv_gather
             and points is not None
@@ -374,7 +390,8 @@ class SetAbstractionMsg(nn.Module):
                     i, xyz, points, new_xyz, sqrdists, radius, k, convs, pbns
                 ))
                 continue
-            bns = [_bn(train, f"bn_{i}_{j}") for j in range(len(self.mlps[i]))]
+            bns = [_bn(train, f"bn_{i}_{j}", dtype=bn_dt)
+                   for j in range(len(self.mlps[i]))]
 
             if use_event:
                 outs.append(self._event_scale(i, xyz, points, new_xyz, radius, k))
@@ -776,17 +793,20 @@ class SetAbstractionAll(nn.Module):
 
     mlp: Sequence[int]
     bf16: bool = False  # see ModelConfig.bf16_train
+    bf16_eval: bool = False  # see ModelConfig.bf16_eval
 
     @nn.compact
     def __call__(
         self, xyz: jax.Array, points: Optional[jax.Array], train: bool = False
     ) -> Tuple[jax.Array, jax.Array]:
-        dt = jnp.bfloat16 if (self.bf16 and train) else None
+        bf16_ev = self.bf16_eval and not train and not self.is_initializing()
+        dt = jnp.bfloat16 if ((self.bf16 and train) or bf16_ev) else None
+        bn_dt = jnp.bfloat16 if bf16_ev else None
         new_xyz, grouped = group_all(xyz, points)  # [B, 1, N, 3+D]
         x = grouped
         for j, width in enumerate(self.mlp):
             x = nn.Dense(width, dtype=dt, name=f"conv_{j}")(x)
-            x = _bn(train, f"bn_{j}")(x)
+            x = _bn(train, f"bn_{j}", dtype=bn_dt)(x)
             x = nn.relu(x)
         return new_xyz, jnp.max(x, axis=2)  # [B, 1, width]
 
@@ -799,6 +819,7 @@ class FeaturePropagation(nn.Module):
 
     mlp: Sequence[int]
     bf16: bool = False  # see ModelConfig.bf16_train
+    bf16_eval: bool = False  # see ModelConfig.bf16_eval
 
     @nn.compact
     def __call__(
@@ -809,7 +830,9 @@ class FeaturePropagation(nn.Module):
         points2: jax.Array,         # [B, S, D2] coarse features
         train: bool = False,
     ) -> jax.Array:
-        dt = jnp.bfloat16 if (self.bf16 and train) else None
+        bf16_ev = self.bf16_eval and not train and not self.is_initializing()
+        dt = jnp.bfloat16 if ((self.bf16 and train) or bf16_ev) else None
+        bn_dt = jnp.bfloat16 if bf16_ev else None
         S = xyz2.shape[1]
         if S == 1:
             interpolated = jnp.broadcast_to(
@@ -825,7 +848,7 @@ class FeaturePropagation(nn.Module):
         )
         for j, width in enumerate(self.mlp):
             x = nn.Dense(width, dtype=dt, name=f"conv_{j}")(x)
-            x = _bn(train, f"bn_{j}")(x)
+            x = _bn(train, f"bn_{j}", dtype=bn_dt)(x)
             x = nn.relu(x)
         return x
 
@@ -862,16 +885,19 @@ class QueryConv(nn.Module):
     features: int = 256
     dropout: float = 0.1
     bf16: bool = False  # see ModelConfig.bf16_train
+    bf16_eval: bool = False  # see ModelConfig.bf16_eval
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        dt = jnp.bfloat16 if (self.bf16 and train) else None
+        bf16_ev = self.bf16_eval and not train and not self.is_initializing()
+        dt = jnp.bfloat16 if ((self.bf16 and train) or bf16_ev) else None
+        bn_dt = jnp.bfloat16 if bf16_ev else None
         x = nn.Conv(self.features, kernel_size=(3,), padding="SAME",
                     dtype=dt, name="conv_0")(x)
         x = nn.relu(x)
-        x = _bn(train, "bn_0")(x)
+        x = _bn(train, "bn_0", dtype=bn_dt)(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Conv(self.features, kernel_size=(3,), padding="SAME",
                     dtype=dt, name="conv_1")(x)
-        x = _bn(train, "bn_1")(x)
+        x = _bn(train, "bn_1", dtype=bn_dt)(x)
         return x

@@ -77,6 +77,7 @@ class ManoRegressor(nn.Module):
     pallas_gather_bwd: bool = False
     pallas_gather_wide: bool = True
     bf16: bool = False  # see ModelConfig.bf16_train
+    bf16_eval: bool = False  # see ModelConfig.bf16_eval
     rank_ball_query: bool = False  # see ModelConfig.rank_ball_query
 
     @nn.compact
@@ -107,10 +108,12 @@ class ManoRegressor(nn.Module):
             pallas_gather_wide=self.pallas_gather_wide,
             rank_ball_query=self.rank_ball_query,
             bf16=self.bf16,
+            bf16_eval=self.bf16_eval,
             name="sa1",
         )(xyz, features, train, fps_key, fps_idx)
         _, l2_points = SetAbstractionAll(
-            mlp=(256, 512), bf16=self.bf16, name="sa2"
+            mlp=(256, 512), bf16=self.bf16, bf16_eval=self.bf16_eval,
+            name="sa2"
         )(l1_xyz, l1_points, train)
         x = l2_points[:, 0, :]  # [B, 512]
 
@@ -181,6 +184,7 @@ class TEHNet(nn.Module):
             pallas_gather_wide=cfg.pallas_gather_wide,
             rank_ball_query=cfg.rank_ball_query,
             bf16=cfg.bf16_train,
+            bf16_eval=cfg.bf16_eval,
             name="sa1",
         )(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = SetAbstractionMsg(
@@ -202,36 +206,46 @@ class TEHNet(nn.Module):
             pallas_gather_wide=cfg.pallas_gather_wide,
             rank_ball_query=cfg.rank_ball_query,
             bf16=cfg.bf16_train,
+            bf16_eval=cfg.bf16_eval,
             name="sa2",
         )(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = SetAbstractionAll(
-            mlp=(256, 512, 1024), bf16=cfg.bf16_train, name="sa3"
+            mlp=(256, 512, 1024), bf16=cfg.bf16_train,
+            bf16_eval=cfg.bf16_eval, name="sa3"
         )(l2_xyz, l2_points, train)
 
-        l2_points = FeaturePropagation(mlp=(256, 256), bf16=cfg.bf16_train, name="fp3")(
+        l2_points = FeaturePropagation(mlp=(256, 256), bf16=cfg.bf16_train,
+                                       bf16_eval=cfg.bf16_eval, name="fp3")(
             l2_xyz, l3_xyz, l2_points, l3_points, train
         )
-        l1_points = FeaturePropagation(mlp=(256, 128), bf16=cfg.bf16_train, name="fp2")(
+        l1_points = FeaturePropagation(mlp=(256, 128), bf16=cfg.bf16_train,
+                                       bf16_eval=cfg.bf16_eval, name="fp2")(
             l1_xyz, l2_xyz, l1_points, l2_points, train
         )
-        l0_feats = FeaturePropagation(mlp=(128, 128, 256), bf16=cfg.bf16_train, name="fp1")(
+        l0_feats = FeaturePropagation(mlp=(128, 128, 256), bf16=cfg.bf16_train,
+                                      bf16_eval=cfg.bf16_eval, name="fp1")(
             l0_xyz, l1_xyz, None, l1_points, train
         )
 
         # classifier: conv0, ReLU, BN, Dropout(0.3), conv1 (k=1 convs = Dense)
-        cdt = jnp.bfloat16 if (cfg.bf16_train and train) else None
+        bf16_ev = (cfg.bf16_eval and not train and not self.is_initializing())
+        cdt = (jnp.bfloat16
+               if ((cfg.bf16_train and train) or bf16_ev) else None)
         x = nn.Dense(256, dtype=cdt, name="classifier_conv_0")(l0_feats)
         x = nn.relu(x)
-        x = _bn(train, "classifier_bn")(x)
+        x = _bn(train, "classifier_bn",
+                dtype=jnp.bfloat16 if bf16_ev else None)(x)
         x = nn.Dropout(cfg.dropout_classifier, deterministic=not train)(x)
         seg_logits = nn.Dense(cfg.num_classes, name="classifier_conv_1")(x)
 
         feat_fuse = l0_feats
         left_query = QueryConv(dropout=cfg.dropout_query, bf16=cfg.bf16_train,
+                               bf16_eval=cfg.bf16_eval,
                                name="left_query_conv")(
             feat_fuse, train
         )
         right_query = QueryConv(dropout=cfg.dropout_query, bf16=cfg.bf16_train,
+                                bf16_eval=cfg.bf16_eval,
                                 name="right_query_conv")(
             feat_fuse, train
         )
@@ -291,6 +305,7 @@ class TEHNet(nn.Module):
                 pallas_gather_wide=cfg.pallas_gather_wide,
                 rank_ball_query=cfg.rank_ball_query,
                 bf16=cfg.bf16_train,
+                bf16_eval=cfg.bf16_eval,
                 name="left_mano_regressor",
             )(l0_xyz, left_features, train, keys[2], reg_fps_idx)
             right = ManoRegressor(
@@ -307,6 +322,7 @@ class TEHNet(nn.Module):
                 pallas_gather_wide=cfg.pallas_gather_wide,
                 rank_ball_query=cfg.rank_ball_query,
                 bf16=cfg.bf16_train,
+                bf16_eval=cfg.bf16_eval,
                 name="right_mano_regressor",
             )(l0_xyz, right_features, train, keys[3], reg_fps_idx)
 

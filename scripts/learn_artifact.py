@@ -126,16 +126,30 @@ def main():
     train_reader = Ev2HandSReader(train_root, n_events=cfg.model.n_points)
     val_reader = Ev2HandSReader(val_root, n_events=cfg.model.n_points)
 
-    def run_eval(state, tag):
+    # Number of deterministic eval batches that tile the WHOLE held-out
+    # stream with non-overlapping windows (batches() advances starts by
+    # n_events): the single-batch MPJPE of rounds <=3 bounced between eval
+    # points (one batch = 32 of ~45 windows, high variance); full-split
+    # stats are stable.
+    val_limit = max(val_reader.n_samples - val_reader.n_events, 1)
+    n_val_batches = max(1, int(np.ceil(
+        val_limit / (cfg.train.eval_batch_size * val_reader.n_events))))
+
+    def run_eval(state, tag, step_fn=None):
+        step_fn = step_fn or eval_step
         t = time.time()
-        metrics, score = evaluate(eval_step, state, val_reader, cfg,
+        metrics, score = evaluate(step_fn, state, val_reader, cfg,
                                   max_frames=128)
-        # MPJPE over one deterministic held-out batch (eval_step returns
-        # pred/gt joints in mm)
-        batch = next(iter(val_reader.batches(cfg.train.eval_batch_size,
-                                             shuffle=False, max_batches=1)))
-        pred, gt = eval_step(state, batch, jax.random.PRNGKey(0))
-        pred, gt = np.asarray(pred), np.asarray(gt)  # [B, 2, 21, 3] mm
+        # MPJPE over ALL held-out windows (deterministic, non-overlapping
+        # tiling of the val stream; eval_step returns pred/gt joints in mm)
+        preds, gts = [], []
+        for i, batch in enumerate(val_reader.batches(
+                cfg.train.eval_batch_size, shuffle=False,
+                max_batches=n_val_batches)):
+            p_, g_ = step_fn(state, batch, jax.random.PRNGKey(i))
+            preds.append(np.asarray(p_))
+            gts.append(np.asarray(g_))
+        pred, gt = np.concatenate(preds), np.concatenate(gts)  # [B,2,21,3] mm
         mpjpe_mm = float(np.mean(np.linalg.norm(pred - gt, axis=-1)))
         # split the absolute error into its translation and pose parts:
         # root_err isolates the regressed-transl drift; the root-aligned
@@ -151,6 +165,7 @@ def main():
             "mpjpe_mm": round(mpjpe_mm, 2),
             "root_err_mm": round(root_err_mm, 2),
             "mpjpe_root_aligned_mm": round(mpjpe_rel_mm, 2),
+            "eval_windows": int(pred.shape[0]),
             "seconds": round(time.time() - t, 1),
         }
         print(json.dumps(entry), flush=True)
@@ -183,6 +198,29 @@ def main():
     report["loss_every_50"] = losses_hist
     report["loss_terms_every_50"] = terms_hist
     report["evals"] = evals
+
+    # ---- bf16_eval accuracy gate: the TRAINED params evaluated through the
+    # f32 eval path (above) and the bf16_eval path — the deltas are the
+    # accuracy cost of mixed-precision inference at full sandbox scale
+    # (ModelConfig.bf16_eval; perf A/B in scripts/ab_bf16_eval.py).
+    import dataclasses
+
+    cfg16 = cfg.replace(model=dataclasses.replace(
+        cfg.model, bf16_eval=True, bf16_train=False))
+    eval_step16 = make_eval_step(TEHNet(cfg=cfg16.model), hands, cfg16)
+    final_bf16 = run_eval(state, "final_bf16_eval", step_fn=eval_step16)
+    report["bf16_eval_gate"] = {
+        "f32": {k: evals[-1][k] for k in
+                ("relative_auc", "mpjpe_mm", "mpjpe_root_aligned_mm")},
+        "bf16": {k: final_bf16[k] for k in
+                 ("relative_auc", "mpjpe_mm", "mpjpe_root_aligned_mm")},
+        "delta_mpjpe_mm": round(
+            final_bf16["mpjpe_mm"] - evals[-1]["mpjpe_mm"], 3),
+        "delta_relative_auc": round(
+            final_bf16["relative_auc"] - evals[-1]["relative_auc"], 4),
+    }
+    print(json.dumps({"bf16_eval_gate": report["bf16_eval_gate"]}),
+          flush=True)
 
     first, last = evals[0], evals[-1]
     report["learned"] = bool(last["relative_auc"] > first["relative_auc"])

