@@ -273,10 +273,16 @@ class ModelConfig:
     # the sa1 sparse Pallas kernel already runs bf16 MXU dots on folded f32
     # weights and is unchanged. Output heads (classifier_conv_1, regressor
     # fc stack), MANO and metrics stay f32. MEASURED (TPU v5e, full
-    # inference pipeline, interleaved honest A/B, scripts/ab_bf16_eval.py):
-    # see artifacts/ab_bf16_eval.json for the step-level verdict; accuracy
-    # gate at full sandbox scale in artifacts/learn_curve.json (f32-trained
-    # params evaluated through both eval paths).
+    # inference pipeline, interleaved honest A/B, scripts/ab_bf16_eval.py,
+    # artifacts/ab_bf16_eval.json): a WASH — B=16 off 392.5/402.2 vs on
+    # 401.2/396.6 w/s (within the historical spread), B=32 off 383.4/383.7
+    # vs on 385.1/385.6 (+0.45%, consistent but tiny). The eval pipeline is
+    # issue-bound in the sparse sa1 kernel and the dense chains' dots, not
+    # activation-bandwidth-bound, so halving activation bytes buys ~nothing
+    # (unlike training, where bf16 residual bytes won +18%). Default stays
+    # f32 (exact reference eval numerics at equal speed); accuracy cost if
+    # enabled is ~4e-3 absolute on regressed params, gate in
+    # artifacts/learn_curve.json (bf16_eval_gate).
     bf16_eval: bool = False
     # Run the two MANO regressor heads as one h-stacked pass in the dense
     # eval path (shared FPS/selection, folded BN, batched matmuls) — exact

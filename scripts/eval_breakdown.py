@@ -19,6 +19,7 @@ Run on the REAL TPU with an otherwise-idle host (~10 min of compiles):
 import argparse
 import json
 import sys
+import time
 
 sys.path.insert(0, ".")
 
@@ -117,6 +118,21 @@ def main():
     def perturb(x, k, eps=1e-6):
         return x + eps * jax.random.normal(k, x.shape, x.dtype)
 
+    def timed(fn, iters):
+        """device_throughput with outage-riding retries: the axon tunnel has
+        transient unavailable/ResourceExhausted phases (CLAUDE.md) that
+        would otherwise kill a 40-min multi-stage run at one stage."""
+        for attempt in range(4):
+            try:
+                return device_throughput(fn, iters=iters)
+            except Exception as e:  # noqa: BLE001 — jaxlib runtime errors
+                if attempt == 3:
+                    raise
+                print(f"# stage failed ({type(e).__name__}); waiting out "
+                      f"the tunnel and retrying", file=sys.stderr, flush=True)
+                time.sleep(120)
+                wait_for_tpu()
+
     results = {}
 
     def report(name, sec):
@@ -130,7 +146,7 @@ def main():
         pp = ev[:, :, 3]
         return ev.at[:, :, 3].set(jnp.where(flip, 1.0 - pp, pp))
 
-    report("erpc", device_throughput(
+    report("erpc", timed(
         lambda k: erpc_batch_transform(
             flip_polarity(raw, k), labels, k, width=cfg.sensor.width,
             height=cfg.sensor.height, n_out=n).events,
@@ -163,7 +179,7 @@ def main():
         def run(k):
             _, pts = mod.apply(sub, perturb(l0_xyz, k), l0_points, False)
             return pts
-        return device_throughput(run, iters=args.iters)
+        return timed(run, iters=args.iters)
 
     subset_secs = [sa1_subset(i) for i in (1, 2, 3)]
     report("sa1_total", subset_secs[2])
@@ -178,54 +194,53 @@ def main():
         new_xyz = index_points(xyz, idx)
         return square_distance(new_xyz, xyz)
 
-    report("sa1_prep_fps_sqrdists", device_throughput(sa1_prep,
-                                                      iters=args.iters))
+    report("sa1_prep_fps_sqrdists", timed(sa1_prep, iters=args.iters))
 
     # ---- sa2 -------------------------------------------------------------
     sa2 = SetAbstractionMsg(
         npoint=128, radius_list=(0.4, 0.8), nsample_list=(64, 128),
         mlps=((128, 128, 256), (128, 196, 256)), **msg_kwargs())
-    report("sa2", device_throughput(
+    report("sa2", timed(
         lambda k: sa2.apply(jit("sa2"), perturb(l1_xyz, k), l1_points,
                             False)[1],
         iters=args.iters))
 
     # ---- sa3 -------------------------------------------------------------
     sa3 = SetAbstractionAll(mlp=(256, 512, 1024), bf16_eval=mc.bf16_eval)
-    report("sa3", device_throughput(
+    report("sa3", timed(
         lambda k: sa3.apply(jit("sa3"), perturb(l2_xyz, k), l2_points_sa2,
                             False)[1],
         iters=args.iters))
 
     # ---- feature propagation --------------------------------------------
     fp3 = FeaturePropagation(mlp=(256, 256), bf16_eval=mc.bf16_eval)
-    report("fp3", device_throughput(
+    report("fp3", timed(
         lambda k: fp3.apply(jit("fp3"), perturb(l2_xyz, k), l3_xyz,
                             l2_points_sa2, l3_points, False),
         iters=args.iters))
     fp2 = FeaturePropagation(mlp=(256, 128), bf16_eval=mc.bf16_eval)
-    report("fp2", device_throughput(
+    report("fp2", timed(
         lambda k: fp2.apply(jit("fp2"), perturb(l1_xyz, k), l2_xyz,
                             l1_points, l2_points_fp3, False),
         iters=args.iters))
     fp1 = FeaturePropagation(mlp=(128, 128, 256), bf16_eval=mc.bf16_eval)
-    report("fp1", device_throughput(
+    report("fp1", timed(
         lambda k: fp1.apply(jit("fp1"), perturb(l0_xyz, k), l1_xyz,
                             None, l1_points_fp2, False),
         iters=args.iters))
 
     # ---- heads -----------------------------------------------------------
-    report("classifier", device_throughput(
+    report("classifier", timed(
         lambda k: classifier(perturb(l0_feats, k)), iters=args.iters))
 
     lq = QueryConv(dropout=mc.dropout_query, bf16_eval=mc.bf16_eval)
-    report("query_convs_pair", device_throughput(
+    report("query_convs_pair", timed(
         lambda k: lq.apply(jit("left_query_conv"), perturb(l0_feats, k),
                            False)
         + lq.apply(jit("right_query_conv"), perturb(l0_feats, k), False),
         iters=args.iters))
 
-    report("attention_pair", device_throughput(
+    report("attention_pair", timed(
         lambda k: attention_block(perturb(seg_logits, k), l0_feats,
                                   left_query)
         + attention_block(perturb(seg_logits, k), l0_feats, right_query),
@@ -249,7 +264,7 @@ def main():
         return sum(jnp.sum(v) for v in lo.values()) + sum(
             jnp.sum(v) for v in ro.values())
 
-    report("regressor_pair", device_throughput(reg_pair, iters=args.iters))
+    report("regressor_pair", timed(reg_pair, iters=args.iters))
 
     # ---- MANO ------------------------------------------------------------
     fixed = net.apply(variables, events, train=False)
@@ -260,7 +275,7 @@ def main():
             if jnp.issubdtype(x.dtype, jnp.floating) else x, fixed)
         return apply_mano(hands, live)["left"]["vertices"]
 
-    report("mano_pair", device_throughput(mano_only, iters=args.iters))
+    report("mano_pair", timed(mano_only, iters=args.iters))
 
     # ---- full pipeline + sum check ---------------------------------------
     def pipeline(k):
@@ -271,7 +286,7 @@ def main():
         out = apply_mano(hands, out)
         return out["left"]["vertices"]
 
-    report("full_pipeline", device_throughput(pipeline, iters=args.iters))
+    report("full_pipeline", timed(pipeline, iters=args.iters))
 
     parts = ["erpc", "sa1_total", "sa2", "sa3", "fp3", "fp2", "fp1",
              "classifier", "query_convs_pair", "attention_pair",
