@@ -86,9 +86,10 @@ def main():
     l0_xyz, l0_points = events[..., :3], events
 
     # one captured forward provides every stage's real input statistics
-    _, inter = net.apply(variables, events, train=False,
-                         capture_intermediates=True,
-                         mutable=["intermediates"])
+    # (jitted: eager apply would be thousands of ~25 ms tunnel dispatches)
+    _, inter = jax.jit(lambda v, e: net.apply(
+        v, e, train=False, capture_intermediates=True,
+        mutable=["intermediates"]))(variables, events)
     top = inter["intermediates"]
     l1_xyz, l1_points = top["sa1"]["__call__"][0]
     l2_xyz, l2_points_sa2 = top["sa2"]["__call__"][0]
@@ -122,15 +123,17 @@ def main():
         """device_throughput with outage-riding retries: the axon tunnel has
         transient unavailable/ResourceExhausted phases (CLAUDE.md) that
         would otherwise kill a 40-min multi-stage run at one stage."""
-        for attempt in range(4):
+        for attempt in range(30):
             try:
                 return device_throughput(fn, iters=iters)
             except Exception as e:  # noqa: BLE001 — jaxlib runtime errors
-                if attempt == 3:
+                if attempt == 29:
                     raise
-                print(f"# stage failed ({type(e).__name__}); waiting out "
-                      f"the tunnel and retrying", file=sys.stderr, flush=True)
-                time.sleep(120)
+                msg = str(e).splitlines()[0][:160] if str(e) else ""
+                print(f"# stage failed ({type(e).__name__}: {msg}); waiting "
+                      f"out the tunnel and retrying", file=sys.stderr,
+                      flush=True)
+                time.sleep(180)
                 wait_for_tpu()
 
     results = {}
